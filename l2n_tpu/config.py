@@ -1,0 +1,150 @@
+"""Render configuration.
+
+The reference hard-codes every knob (window 1280x720 `src/main.cpp:120-121`,
+fovy 45deg `src/main.cpp:827-828`, tile size 32 `src/main.cpp:830`, sphere
+count 128 / world size 1024 `src/main.cpp:656-657`, path-length cap
+`sphere_pathtracing.cs.glsl:280`, Russian-roulette ceiling `:303`) and exposes
+only `tileCountPerIteration` + renderer choice in the GUI (`src/main.cpp:974-980`).
+Here every one of those is a field of a JSON-serializable dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Any
+
+
+# Reference defaults (src/main.cpp + kernels).
+DEFAULT_WIDTH = 1280   # src/main.cpp:120
+DEFAULT_HEIGHT = 720   # src/main.cpp:121
+DEFAULT_FOVY_DEG = 45.0  # src/main.cpp:827
+DEFAULT_SPHERE_COUNT = 128  # src/main.cpp:656
+DEFAULT_WORLD_SIZE = 1024.0  # src/main.cpp:657
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) configuration of a render.
+
+    All fields are Python scalars so a config uniquely keys a compiled
+    render step; changing any field recompiles.
+    """
+
+    # Image / projection -----------------------------------------------------
+    width: int = DEFAULT_WIDTH
+    height: int = DEFAULT_HEIGHT
+    fovy_deg: float = DEFAULT_FOVY_DEG
+    near: float = 0.01   # src/main.cpp:828
+    far: float = 100.0   # src/main.cpp:828
+
+    # Tile scheduler ---------------------------------------------------------
+    # The reference uses 32x32 GL workgroups (sphere_pathtracing.cs.glsl:5).
+    # TPU-native default is a (32, 128) tile: float32 vregs are (8, 128) so a
+    # 128-wide tile keeps every lane busy; 32x32 remains available (padded).
+    tile_height: int = 32
+    tile_width: int = 128
+    # Tiles dispatched per step; the reference defaults to one row of tiles
+    # (tileCountPerIteration = tileCountX, src/main.cpp:834).
+    tiles_per_step: int = 0  # 0 => one row (tile_count_x), like the reference
+    tile_shuffle_seed: int = 0  # fixed-seed shuffle (std::mt19937, main.cpp:844)
+
+    # Path tracing -----------------------------------------------------------
+    # Reference caps at pathLength <= 1, i.e. at most 2 path segments
+    # (sphere_pathtracing.cs.glsl:280).
+    max_bounces: int = 2
+    rr_ceiling: float = 0.9       # min(0.9, luminance) sphere_pathtracing.cs.glsl:303
+    emissive_every: int = 16      # sphereIndex % 16 == 0 => emissive (glsl:285)
+    emission_scale: float = 8192.0  # glsl:288
+    ray_epsilon: float = 0.01     # bounce-origin offset (glsl:305)
+    env_mode: str = "mandelbrot"  # "mandelbrot" (GPU, glsl:313) | "sun" (CPU, main.cpp:445) | "none"
+    env_scale: float = 3.0        # glsl:314
+
+    # Scene ------------------------------------------------------------------
+    scene_kind: str = "sphere"    # "sphere" | "triangle" (renderer combo, main.cpp:976)
+    sphere_count: int = DEFAULT_SPHERE_COUNT
+    world_size: float = DEFAULT_WORLD_SIZE
+    scene_seed: int = 0
+    disc_lat: int = 16            # tessellation, src/main.cpp:733
+    disc_long: int = 8            # src/main.cpp:734
+
+    # Ray generation: "fovy" = the GPU kernel's inverse-view + tan(fovy/2)
+    # trick (sphere_pathtracing.cs.glsl:378-384); "viewproj" = the CPU
+    # renderer's full inverse view-projection (src/main.cpp:562-567).
+    ray_gen: str = "fovy"
+
+    # RNG --------------------------------------------------------------------
+    # "threefry": counter-based, keyed on (pixel, sample, draw) — default.
+    # "tinymt":   bit-exact TinyMT32 port carrying per-pixel 32B state
+    #             (reference semantics, src/main.cpp:859-878).
+    # "tauslcg":  combined Tausworthe/LCG (reference alt module,
+    #             src/shaders/rand_TausLCG.cs.glsl — present but unused there too).
+    rng: str = "threefry"
+    seed: int = 0
+
+    # Debug / AOV ------------------------------------------------------------
+    # "pathtracing" | "normal" | "ambient_occlusion" | "hit" | "tex_coords"
+    # | "param_uv" — the reference's comment-toggled debug channels
+    # (sphere_pathtracing.cs.glsl:386-389, triangle_pathtracing.cs.glsl:406-409).
+    aov: str = "pathtracing"
+
+    # Display ----------------------------------------------------------------
+    gamma: float = 0.45           # pow(rgb/n, 0.45), glsl:392
+
+    # ------------------------------------------------------------------------
+    @property
+    def tan_half_fovy(self) -> float:
+        return math.tan(0.5 * math.radians(self.fovy_deg))
+
+    @property
+    def aspect_ratio(self) -> float:
+        return self.width / self.height
+
+    @property
+    def tile_count_x(self) -> int:
+        return -(-self.width // self.tile_width)
+
+    @property
+    def tile_count_y(self) -> int:
+        return -(-self.height // self.tile_height)
+
+    @property
+    def tile_count(self) -> int:
+        return self.tile_count_x * self.tile_count_y
+
+    @property
+    def effective_tiles_per_step(self) -> int:
+        n = self.tiles_per_step if self.tiles_per_step > 0 else self.tile_count_x
+        return min(n, self.tile_count)
+
+    def validate(self) -> "RenderConfig":
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("image dimensions must be positive")
+        if self.max_bounces < 1:
+            raise ValueError("max_bounces must be >= 1")
+        if self.scene_kind not in ("sphere", "triangle"):
+            raise ValueError(f"unknown scene_kind {self.scene_kind!r}")
+        if self.rng not in ("threefry", "tinymt", "tauslcg"):
+            raise ValueError(f"unknown rng {self.rng!r}")
+        if self.env_mode not in ("mandelbrot", "sun", "none"):
+            raise ValueError(f"unknown env_mode {self.env_mode!r}")
+        if self.ray_gen not in ("fovy", "viewproj"):
+            raise ValueError(f"unknown ray_gen {self.ray_gen!r}")
+        if self.aov not in ("pathtracing", "normal", "ambient_occlusion",
+                            "hit", "tex_coords", "param_uv"):
+            raise ValueError(f"unknown aov {self.aov!r}")
+        return self
+
+    # JSON round-trip ----------------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "RenderConfig":
+        data: dict[str, Any] = json.loads(text)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in known}).validate()
+
+    def replace(self, **kw: Any) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

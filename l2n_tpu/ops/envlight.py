@@ -1,0 +1,82 @@
+"""Environment lights: Mandelbrot escape-time sky and the sun lobe.
+
+`mandelbrot_le` mirrors the GPU kernel's env light
+(/root/reference/src/shaders/sphere_pathtracing.cs.glsl:239-270) and `sun_le`
+the CPU renderer's (src/main.cpp:401,445) — the reference deliberately uses
+different env lights on the two paths; both are provided and selected by
+`RenderConfig.env_mode`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from l2n_tpu.maths.sampling import PI
+
+MANDELBROT_ITERS = 64  # glsl:251
+
+
+def mandelbrot_le(dx, dy, dz):
+    """Scalar (greyscale) radiance of the Mandelbrot sky for direction d.
+
+    Direction -> (u, v) plane: theta = atan2(|d.xy|, d.z), phi =
+    atan2(d.y, d.x), u = phi/pi, v = -1 + 2*theta/pi, p = (8u, 4v)
+    (glsl:241-248). Escape-time iteration z <- z^2 + p with the divergent
+    `break` replaced by lane freezing: once |z|^2 > 4 a lane stops updating
+    and remembers its escape iteration. Returns i/64 for diverged lanes, 0
+    otherwise (glsl:265-269); the caller broadcasts to rgb.
+    """
+    f32 = jnp.float32
+    sin_theta = jnp.sqrt(dx * dx + dy * dy)
+    theta = jnp.arctan2(sin_theta, dz)
+    phi = jnp.arctan2(dy, dx)
+    u = phi * f32(1.0 / PI)
+    v = f32(-1.0) + f32(2.0 / PI) * theta
+    px = f32(8.0) * u
+    py = f32(4.0) * v
+
+    shape = jnp.shape(px)
+    zx = jnp.zeros(shape, f32)
+    zy = jnp.zeros(shape, f32)
+    esc = jnp.zeros(shape, jnp.int32)
+    diverged = jnp.zeros(shape, jnp.bool_)
+
+    def body(i, carry):
+        zx, zy, esc, diverged = carry
+        nzx = zx * zx - zy * zy + px
+        nzy = f32(2.0) * zx * zy + py
+        zx = jnp.where(diverged, zx, nzx)
+        zy = jnp.where(diverged, zy, nzy)
+        now = (zx * zx + zy * zy) > f32(4.0)
+        just = now & ~diverged
+        esc = jnp.where(just, i, esc)
+        return zx, zy, esc, diverged | now
+
+    zx, zy, esc, diverged = jax.lax.fori_loop(
+        0, MANDELBROT_ITERS, body, (zx, zy, esc, diverged))
+    return jnp.where(
+        diverged, esc.astype(f32) * f32(1.0 / MANDELBROT_ITERS), f32(0.0))
+
+
+def sun_le(dx, dy, dz):
+    """Scalar radiance of the sun lobe: pow(max(0, dot(sunDir, d)), 128)
+    with sunDir = normalize(1, 1, -1) (src/main.cpp:401,445)."""
+    f32 = jnp.float32
+    s = f32(1.0 / jnp.sqrt(3.0).item())
+    d = jnp.maximum(f32(0.0), s * dx + s * dy - s * dz)
+    # pow(x, 128) as 7 squarings — cheaper and exact for integer powers.
+    for _ in range(7):
+        d = d * d
+    return d
+
+
+def env_radiance(mode: str, dx, dy, dz):
+    """Dispatch on RenderConfig.env_mode (static)."""
+    if mode == "mandelbrot":
+        return mandelbrot_le(dx, dy, dz)
+    if mode == "sun":
+        return sun_le(dx, dy, dz)
+    if mode == "none":
+        return jnp.zeros(jnp.broadcast_shapes(jnp.shape(dx)), jnp.float32)
+    raise ValueError(f"unknown env mode {mode!r}")

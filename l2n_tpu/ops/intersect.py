@@ -1,0 +1,165 @@
+"""Ray/scene intersection in lane-lockstep SoA form.
+
+The reference's divergent per-thread linear scans
+(`intersectScene` /root/reference/src/shaders/sphere_pathtracing.cs.glsl:185-213,
+`intersectTriangle`+mesh loop triangle_pathtracing.cs.glsl:111-191) become
+`lax.fori_loop`s over primitives carrying a running nearest-hit, with every
+comparison a lane-wise select. Primitive data is fetched through a `fetch(i)`
+callback so the identical loop body reads jnp arrays in the oracle and
+SMEM/VMEM refs inside Pallas kernels.
+
+Miss sentinel: t = -1.0, primitive index = -1 — exactly the reference's
+convention (currentDist starts at -1, sphereIndex at -1; glsl:186,200-201).
+Triangle scenes use +INF internally (glsl:9,158) but are normalized to the
+same -1 convention at this boundary so the path tracer is scene-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+# A fetch callback returns a tuple of scalar (or broadcastable) components
+# for primitive i.
+Fetch = Callable[[jnp.ndarray], tuple]
+
+MOLLER_TRUMBORE_EPS = 1e-6  # EPSILON, triangle_pathtracing.cs.glsl:10
+
+
+def intersect_sphere_scene(
+    ox, oy, oz, dx, dy, dz, sphere_count: int, fetch: Fetch,
+    unroll: int = 1,
+):
+    """Nearest hit against `sphere_count` spheres.
+
+    fetch(i) -> (cx, cy, cz, sqr_radius).
+
+    Per-sphere math mirrors `intersectSphere` (sphere_pathtracing.cs.glsl:
+    145-163): b = 2*dot(org-c, dir), c = |org-c|^2 - r^2, t = t1 if t1 >= 0
+    else t2 (so a ray starting inside a sphere hits its backside). A
+    candidate wins when t >= 0 and (no hit yet or t < best)
+    (glsl:190,205).
+
+    Returns (t, px, py, pz, nx, ny, nz, index, sqr_radius) — index is int32,
+    -1 on miss; position/normal/sqr_radius are for the winning sphere (the
+    emissive term needs the winner's r^2, glsl:286).
+    """
+    shape = jnp.broadcast_shapes(jnp.shape(ox), jnp.shape(dx))
+    f32 = jnp.float32
+    best_t = jnp.full(shape, -1.0, f32)
+    best_i = jnp.full(shape, -1, jnp.int32)
+    best_cx = jnp.zeros(shape, f32)
+    best_cy = jnp.zeros(shape, f32)
+    best_cz = jnp.zeros(shape, f32)
+    best_r2 = jnp.ones(shape, f32)
+
+    def body(i, carry):
+        best_t, best_i, bcx, bcy, bcz, br2 = carry
+        cx, cy, cz, r2 = fetch(i)
+        rox, roy, roz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (rox * dx + roy * dy + roz * dz)
+        c = rox * rox + roy * roy + roz * roz - r2
+        disc = b * b - 4.0 * c
+        sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
+        t1 = f32(0.5) * (-b - sq)
+        t2 = f32(0.5) * (-b + sq)
+        t = jnp.where(t1 >= 0.0, t1, t2)
+        valid = (disc >= 0.0) & (t >= 0.0)
+        better = valid & ((best_t < 0.0) | (t < best_t))
+        best_t = jnp.where(better, t, best_t)
+        best_i = jnp.where(better, jnp.int32(i), best_i)
+        bcx = jnp.where(better, jnp.broadcast_to(cx, shape), bcx)
+        bcy = jnp.where(better, jnp.broadcast_to(cy, shape), bcy)
+        bcz = jnp.where(better, jnp.broadcast_to(cz, shape), bcz)
+        br2 = jnp.where(better, jnp.broadcast_to(r2, shape), br2)
+        return best_t, best_i, bcx, bcy, bcz, br2
+
+    carry = (best_t, best_i, best_cx, best_cy, best_cz, best_r2)
+    best_t, best_i, bcx, bcy, bcz, best_r2 = jax.lax.fori_loop(
+        0, sphere_count, body, carry, unroll=unroll)
+
+    px = ox + best_t * dx
+    py = oy + best_t * dy
+    pz = oz + best_t * dz
+    nx, ny, nz = px - bcx, py - bcy, pz - bcz
+    rcp = f32(1.0) / jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    hit = best_t >= 0.0
+    # Avoid inf/nan normals on miss lanes (rcp of 0-length vector).
+    rcp = jnp.where(hit, rcp, f32(0.0))
+    return best_t, px, py, pz, nx * rcp, ny * rcp, nz * rcp, best_i, best_r2
+
+
+def intersect_triangle_scene(
+    ox, oy, oz, dx, dy, dz, triangle_count: int, fetch: Fetch,
+    unroll: int = 1,
+):
+    """Nearest hit against a flattened triangle soup.
+
+    fetch(i) -> (v1x, v1y, v1z, e1x, e1y, e1z, e2x, e2y, e2z, mesh_id) with
+    precomputed edges (see `TriangleScene.soup`).
+
+    Möller-Trumbore mirroring `intersectTriangle`
+    (triangle_pathtracing.cs.glsl:111-154): reject |det| < eps, u/v bounds,
+    dist < eps. The reference's per-mesh double loop is flattened — mesh
+    identity rides along as a per-triangle id, which removes all index
+    chasing from the hot loop.
+
+    Returns (t, u, v, tri_index, mesh_id): t = -1.0 on miss (normalized from
+    the reference's +INF convention), (u, v) barycentrics of the winning hit.
+    Attribute interpolation (normals/texcoords) is done by the caller via
+    `fetch_attributes` on the winning index — once per ray, not per
+    candidate (the reference does the same, interpolating after the loop,
+    glsl:177-188).
+    """
+    shape = jnp.broadcast_shapes(jnp.shape(ox), jnp.shape(dx))
+    f32 = jnp.float32
+    inf = f32(jnp.inf)
+    best_t = jnp.full(shape, jnp.inf, f32)
+    best_u = jnp.zeros(shape, f32)
+    best_v = jnp.zeros(shape, f32)
+    best_tri = jnp.full(shape, -1, jnp.int32)
+    best_mesh = jnp.full(shape, -1, jnp.int32)
+    eps = f32(MOLLER_TRUMBORE_EPS)
+
+    def body(i, carry):
+        best_t, best_u, best_v, best_tri, best_mesh = carry
+        v1x, v1y, v1z, e1x, e1y, e1z, e2x, e2y, e2z, mesh_id = fetch(i)
+        # P = cross(dir, e2)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        # Reference divides by det then rejects; we multiply by a safe
+        # reciprocal and mask, same result without div-by-0.
+        det_ok = jnp.abs(det) >= eps
+        rcp_det = f32(1.0) / jnp.where(det_ok, det, f32(1.0))
+        tx, ty, tz = ox - v1x, oy - v1y, oz - v1z
+        u = (tx * px + ty * py + tz * pz) * rcp_det
+        # Q = cross(T, e1)
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * rcp_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * rcp_det
+        valid = (det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                 & (u + v <= 1.0) & (t >= eps))
+        t = jnp.where(valid, t, inf)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        best_u = jnp.where(better, u, best_u)
+        best_v = jnp.where(better, v, best_v)
+        best_tri = jnp.where(better, jnp.int32(i), best_tri)
+        best_mesh = jnp.where(
+            better, jnp.broadcast_to(mesh_id, shape).astype(jnp.int32), best_mesh)
+        return best_t, best_u, best_v, best_tri, best_mesh
+
+    carry = (best_t, best_u, best_v, best_tri, best_mesh)
+    best_t, best_u, best_v, best_tri, best_mesh = jax.lax.fori_loop(
+        0, triangle_count, body, carry, unroll=unroll)
+
+    # Normalize to the framework-wide miss convention t = -1.
+    missed = ~jnp.isfinite(best_t)
+    best_t = jnp.where(missed, f32(-1.0), best_t)
+    return best_t, best_u, best_v, best_tri, best_mesh

@@ -1,0 +1,312 @@
+"""The path tracer: ray generation, the masked bounce loop, AOV channels.
+
+Lane-lockstep rewrite of the reference's divergent per-thread `pathtracing`
+(/root/reference/src/shaders/sphere_pathtracing.cs.glsl:272-317 and the
+isomorphic triangle variant triangle_pathtracing.cs.glsl:250-299): the
+`while (dist >= 0 && pathLength <= 1)` loop becomes a fixed-depth unrolled
+loop over `max_bounces` with per-lane masks; Russian roulette and emissive
+termination become mask updates. The reference's tri-state `dist` sentinel
+is preserved exactly (t >= 0 hit, -1 miss -> environment, -2 terminated)
+because the env test is literally `dist == -1.0` (glsl:313).
+
+Everything operates on arbitrary-shaped lane arrays in SoA component form;
+scene access is through an `intersect(ox,oy,oz,dx,dy,dz) -> Hit` closure so
+the identical code serves the sphere scene, the triangle scene, the pure-XLA
+oracle, and Pallas kernel bodies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+
+from l2n_tpu.camera.camera import ROW_POSITION, ROW_PROJ, ROW_RCP_VIEW, ROW_RCP_VIEW_PROJ
+from l2n_tpu.maths.sampling import (
+    PI,
+    cosine_sample_hemisphere,
+    frame_z,
+    local_to_world,
+    luminance,
+    normalize3,
+    procedural_color,
+)
+from l2n_tpu.ops.envlight import env_radiance
+
+
+@dataclasses.dataclass
+class Hit:
+    """Resolved hit record (lane arrays).
+
+    `index` is the shading index (sphere index / mesh index; -1 on miss) fed
+    to the procedural albedo and the emissive test; `emis_r2` the squared
+    radius in the emission formula (the sphere's own, glsl:286; constant 1
+    for triangle meshes, triangle_pathtracing.cs.glsl:268). `tc_u/tc_v`
+    (texcoords) and `b_u/b_v` (barycentrics) are zero for scenes without
+    them.
+    """
+
+    t: jnp.ndarray
+    px: jnp.ndarray
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+    index: jnp.ndarray
+    emis_r2: jnp.ndarray
+    tc_u: jnp.ndarray | None = None
+    tc_v: jnp.ndarray | None = None
+    b_u: jnp.ndarray | None = None
+    b_v: jnp.ndarray | None = None
+
+
+IntersectFn = Callable[..., Hit]  # (ox, oy, oz, dx, dy, dz) -> Hit
+
+
+# ---------------------------------------------------------------------------
+# Ray generation
+# ---------------------------------------------------------------------------
+
+def generate_rays(cfg, cam, px, py, u1, u2):
+    """Jittered primary rays for float pixel coords (px, py).
+
+    `cam` is anything indexable as the packed (10, 4) camera block (a jnp
+    array in the oracle, an SMEM ref inside kernels).
+
+    Two variants, both from the reference:
+      * "fovy" (the GPU kernel, sphere_pathtracing.cs.glsl:371-384): scale
+        NDC by (ratio*tanHalfFovy, tanHalfFovy, -1, 1) — "equivalent to
+        multiplication by the inverse perspective matrix, but better
+        numerical precision" (glsl:380) — then apply the inverse view.
+      * "viewproj" (the CPU renderer, src/main.cpp:562-567): full inverse
+        view-projection with perspective divide, NDC z on the far plane.
+
+    Returns (ox, oy, oz, dx, dy, dz).
+    """
+    f32 = jnp.float32
+    sx = (px + u1) * f32(1.0 / cfg.width)
+    sy = (py + u2) * f32(1.0 / cfg.height)
+    ndx = f32(-1.0) + f32(2.0) * sx
+    ndy = f32(-1.0) + f32(2.0) * sy
+
+    pos_x, pos_y, pos_z = (cam[ROW_POSITION, 0], cam[ROW_POSITION, 1],
+                           cam[ROW_POSITION, 2])
+
+    if cfg.ray_gen == "fovy":
+        ratio = cam[ROW_PROJ, 0]
+        tan_half = cam[ROW_PROJ, 1]
+        vx = ndx * ratio * tan_half
+        vy = ndy * tan_half
+        vz = f32(-1.0)
+        r = ROW_RCP_VIEW
+        wx = cam[r + 0, 0] * vx + cam[r + 0, 1] * vy + cam[r + 0, 2] * vz + cam[r + 0, 3]
+        wy = cam[r + 1, 0] * vx + cam[r + 1, 1] * vy + cam[r + 1, 2] * vz + cam[r + 1, 3]
+        wz = cam[r + 2, 0] * vx + cam[r + 2, 1] * vy + cam[r + 2, 2] * vz + cam[r + 2, 3]
+    elif cfg.ray_gen == "viewproj":
+        vz = f32(1.0)
+        r = ROW_RCP_VIEW_PROJ
+        wx = cam[r + 0, 0] * ndx + cam[r + 0, 1] * ndy + cam[r + 0, 2] * vz + cam[r + 0, 3]
+        wy = cam[r + 1, 0] * ndx + cam[r + 1, 1] * ndy + cam[r + 1, 2] * vz + cam[r + 1, 3]
+        wz = cam[r + 2, 0] * ndx + cam[r + 2, 1] * ndy + cam[r + 2, 2] * vz + cam[r + 2, 3]
+        ww = cam[r + 3, 0] * ndx + cam[r + 3, 1] * ndy + cam[r + 3, 2] * vz + cam[r + 3, 3]
+        rcp_w = f32(1.0) / ww
+        wx, wy, wz = wx * rcp_w, wy * rcp_w, wz * rcp_w
+    else:  # pragma: no cover - validated in config
+        raise ValueError(f"unknown ray_gen {cfg.ray_gen!r}")
+
+    dx, dy, dz = normalize3(wx - pos_x, wy - pos_y, wz - pos_z)
+    shape = jnp.shape(dx)
+    ox = jnp.broadcast_to(pos_x, shape)
+    oy = jnp.broadcast_to(pos_y, shape)
+    oz = jnp.broadcast_to(pos_z, shape)
+    return ox, oy, oz, dx, dy, dz
+
+
+# ---------------------------------------------------------------------------
+# Path tracing (the "pathtracing" render mode)
+# ---------------------------------------------------------------------------
+
+def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz):
+    """Trace one sample per lane; returns (r, g, b).
+
+    Exact mask translation of sphere_pathtracing.cs.glsl:272-317 — see the
+    inline references. Every lane executes every bounce's arithmetic;
+    masks decide what is kept (the TPU trade for SIMT divergence).
+    """
+    f32 = jnp.float32
+    shape = jnp.shape(dx)
+    tp_r = jnp.ones(shape, f32)
+    tp_g = jnp.ones(shape, f32)
+    tp_b = jnp.ones(shape, f32)
+    col_r = jnp.zeros(shape, f32)
+    col_g = jnp.zeros(shape, f32)
+    col_b = jnp.zeros(shape, f32)
+
+    hit = intersect(ox, oy, oz, dx, dy, dz)
+    dist = hit.t  # tri-state sentinel: >=0 hit, -1 miss, -2 terminated
+    nx, ny, nz, index, emis_r2 = hit.nx, hit.ny, hit.nz, hit.index, hit.emis_r2
+
+    for _ in range(cfg.max_bounces):
+        active = dist >= 0.0  # while (dist >= 0.0 && pathLength <= 1), glsl:280
+        emissive = active & (index % cfg.emissive_every == 0)  # glsl:285
+        diffuse = active & ~emissive
+
+        # Emissive: color += throughput * scale / (4 pi r^2); terminate
+        # (glsl:286-290). Guard r2 on lanes where it's meaningless.
+        emit = f32(cfg.emission_scale) / (f32(4.0 * PI) *
+                                          jnp.maximum(emis_r2, f32(1e-20)))
+        col_r = jnp.where(emissive, col_r + tp_r * emit, col_r)
+        col_g = jnp.where(emissive, col_g + tp_g * emit, col_g)
+        col_b = jnp.where(emissive, col_b + tp_b * emit, col_b)
+        dist = jnp.where(emissive, f32(-2.0), dist)
+
+        # Diffuse bounce (glsl:292-300): move to the hit point, cosine-sample
+        # the hemisphere around the (reference: unnormalized interpolated)
+        # shading normal, multiply throughput by the procedural albedo.
+        tangent, bitangent = frame_z(nx, ny, nz)
+        hx = ox + hit.t * dx
+        hy = oy + hit.t * dy
+        hz = oz + hit.t * dz
+        u1, u2 = sampler.draw2(mask=diffuse)
+        (lx, ly, lz), _ = cosine_sample_hemisphere(u1, u2)
+        wdx, wdy, wdz = local_to_world(lx, ly, lz, tangent, bitangent,
+                                       (nx, ny, nz))
+        wdx, wdy, wdz = normalize3(wdx, wdy, wdz)
+
+        kd_r, kd_g, kd_b = procedural_color(index)
+        ox = jnp.where(diffuse, hx, ox)
+        oy = jnp.where(diffuse, hy, oy)
+        oz = jnp.where(diffuse, hz, oz)
+        dx = jnp.where(diffuse, wdx, dx)
+        dy = jnp.where(diffuse, wdy, dy)
+        dz = jnp.where(diffuse, wdz, dz)
+        tp_r = jnp.where(diffuse, tp_r * kd_r, tp_r)
+        tp_g = jnp.where(diffuse, tp_g * kd_g, tp_g)
+        tp_b = jnp.where(diffuse, tp_b * kd_b, tp_b)
+
+        # Russian roulette (glsl:302-309): survive with p = min(ceiling,
+        # luminance(throughput)); survivors get throughput / p, casualties
+        # terminate with dist = -2.
+        rr = sampler.draw1(mask=diffuse)
+        rr_prob = jnp.minimum(f32(cfg.rr_ceiling), luminance(tp_r, tp_g, tp_b))
+        survive = diffuse & (rr < rr_prob)
+        rcp_p = f32(1.0) / jnp.maximum(rr_prob, f32(1e-20))
+        tp_r = jnp.where(survive, tp_r * rcp_p, tp_r)
+        tp_g = jnp.where(survive, tp_g * rcp_p, tp_g)
+        tp_b = jnp.where(survive, tp_b * rcp_p, tp_b)
+        dist = jnp.where(diffuse & ~survive, f32(-2.0), dist)
+
+        # Cast the continuation ray from org + eps*dir (glsl:305). Lockstep:
+        # computed for every lane, merged only into survivors.
+        new = intersect(ox + f32(cfg.ray_epsilon) * dx,
+                        oy + f32(cfg.ray_epsilon) * dy,
+                        oz + f32(cfg.ray_epsilon) * dz, dx, dy, dz)
+        dist = jnp.where(survive, new.t, dist)
+        nx = jnp.where(survive, new.nx, nx)
+        ny = jnp.where(survive, new.ny, ny)
+        nz = jnp.where(survive, new.nz, nz)
+        index = jnp.where(survive, new.index, index)
+        emis_r2 = jnp.where(survive, new.emis_r2, emis_r2)
+        hit = dataclasses.replace(
+            hit, t=jnp.where(survive, new.t, hit.t))
+
+    # Environment (glsl:312-314): only lanes whose final cast missed
+    # (dist == -1 exactly; -2 lanes were terminated) and that did not end on
+    # an emissive object. index % 16 of the miss sentinel -1 is nonzero in
+    # GLSL and here, so pure-miss lanes qualify, matching the reference.
+    env_ok = (dist == f32(-1.0)) & (index % cfg.emissive_every != 0)
+    if cfg.env_mode != "none":
+        le = env_radiance(cfg.env_mode, dx, dy, dz) * f32(cfg.env_scale)
+        col_r = jnp.where(env_ok, col_r + tp_r * le, col_r)
+        col_g = jnp.where(env_ok, col_g + tp_g * le, col_g)
+        col_b = jnp.where(env_ok, col_b + tp_b * le, col_b)
+    return col_r, col_g, col_b
+
+
+# ---------------------------------------------------------------------------
+# Debug / AOV channels (the reference's comment-toggled render modes,
+# sphere_pathtracing.cs.glsl:386-389, triangle_pathtracing.cs.glsl:406-409)
+# ---------------------------------------------------------------------------
+
+def aov_normal(intersect, ox, oy, oz, dx, dy, dz, miss=(0.0, 0.0, 0.0)):
+    """Shading normal or the miss color (sphere: black, glsl:342-351;
+    triangle: magenta, triangle_pathtracing.cs.glsl:328-341)."""
+    h = intersect(ox, oy, oz, dx, dy, dz)
+    m = h.t >= 0.0
+    return (jnp.where(m, h.nx, jnp.float32(miss[0])),
+            jnp.where(m, h.ny, jnp.float32(miss[1])),
+            jnp.where(m, h.nz, jnp.float32(miss[2])))
+
+
+def aov_hit(intersect, ox, oy, oz, dx, dy, dz):
+    """1 on hit else 0 (CPU renderer's `hit`, src/main.cpp:366-374)."""
+    h = intersect(ox, oy, oz, dx, dy, dz)
+    v = (h.t >= 0.0).astype(jnp.float32)
+    return v, v, v
+
+
+def aov_ambient_occlusion(cfg, intersect, sampler, ox, oy, oz, dx, dy, dz):
+    """One-bounce white-sky AO (sphere_pathtracing.cs.glsl:319-340):
+    cosine-sample the hemisphere at the hit; white if the second ray
+    escapes, black otherwise."""
+    f32 = jnp.float32
+    h = intersect(ox, oy, oz, dx, dy, dz)
+    active = h.t >= 0.0
+    tangent, bitangent = frame_z(h.nx, h.ny, h.nz)
+    u1, u2 = sampler.draw2(mask=active)
+    (lx, ly, lz), _ = cosine_sample_hemisphere(u1, u2)
+    wx, wy, wz = local_to_world(lx, ly, lz, tangent, bitangent,
+                                (h.nx, h.ny, h.nz))
+    sx = ox + h.t * dx + f32(cfg.ray_epsilon) * wx
+    sy = oy + h.t * dy + f32(cfg.ray_epsilon) * wy
+    sz = oz + h.t * dz + f32(cfg.ray_epsilon) * wz
+    h2 = intersect(sx, sy, sz, wx, wy, wz)
+    v = jnp.where(active & (h2.t < 0.0), f32(1.0), f32(0.0))
+    return v, v, v
+
+
+def aov_tex_coords(intersect, ox, oy, oz, dx, dy, dz):
+    """Interpolated texcoords (triangle_pathtracing.cs.glsl:343-356);
+    magenta on miss."""
+    h = intersect(ox, oy, oz, dx, dy, dz)
+    m = h.t >= 0.0
+    tc_u = h.tc_u if h.tc_u is not None else jnp.zeros_like(h.t)
+    tc_v = h.tc_v if h.tc_v is not None else jnp.zeros_like(h.t)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    return (jnp.where(m, tc_u, one), jnp.where(m, tc_v, zero),
+            jnp.where(m, zero, one))
+
+
+def aov_param_uv(intersect, ox, oy, oz, dx, dy, dz):
+    """Barycentric (u, v) of the hit (triangle_pathtracing.cs.glsl:358-371);
+    magenta on miss."""
+    h = intersect(ox, oy, oz, dx, dy, dz)
+    m = h.t >= 0.0
+    b_u = h.b_u if h.b_u is not None else jnp.zeros_like(h.t)
+    b_v = h.b_v if h.b_v is not None else jnp.zeros_like(h.t)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    return (jnp.where(m, b_u, one), jnp.where(m, b_v, zero),
+            jnp.where(m, zero, one))
+
+
+def shade(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
+          miss_color=(0.0, 0.0, 0.0)):
+    """Dispatch on cfg.aov (static)."""
+    if cfg.aov == "pathtracing":
+        return trace_path(cfg, intersect, sampler, ox, oy, oz, dx, dy, dz)
+    if cfg.aov == "normal":
+        return aov_normal(intersect, ox, oy, oz, dx, dy, dz, miss_color)
+    if cfg.aov == "hit":
+        return aov_hit(intersect, ox, oy, oz, dx, dy, dz)
+    if cfg.aov == "ambient_occlusion":
+        return aov_ambient_occlusion(cfg, intersect, sampler,
+                                     ox, oy, oz, dx, dy, dz)
+    if cfg.aov == "tex_coords":
+        return aov_tex_coords(intersect, ox, oy, oz, dx, dy, dz)
+    if cfg.aov == "param_uv":
+        return aov_param_uv(intersect, ox, oy, oz, dx, dy, dz)
+    raise ValueError(f"unknown aov {cfg.aov!r}")

@@ -1,0 +1,65 @@
+"""Program layer: scene construction + compiled render step, bundled.
+
+Mirrors the reference's render-program objects — `PathtracingProgram` (base
+uniform plumbing, /root/reference/src/main.cpp:671-693), `SphereProgram`
+(builds + uploads the sphere buffer, :695-712) and `TriangleProgram` (builds
+the tessellated mesh buffers, :714-788). Here "uploading buffers and setting
+bindless pointers" becomes: build the scene pytree and close a jitted render
+step over it; "linking the kernel against an RNG module" (main.cpp:688) is
+the `cfg.rng` choice baked into the step.
+"""
+
+from __future__ import annotations
+
+from l2n_tpu.config import RenderConfig
+from l2n_tpu.render.step import build_render_step
+from l2n_tpu.scene.spheres import SphereScene, compute_spheres
+from l2n_tpu.scene.tessellate import TriangleScene, build_triangle_scene
+
+
+class PathtracingProgram:
+    """Base: owns the config, the scene and the compiled step."""
+
+    name = "basePT"
+
+    def __init__(self, cfg: RenderConfig, scene, backend: str = "auto"):
+        if backend == "auto":
+            import jax
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.cfg = cfg.validate()
+        self.scene = scene
+        self.backend = backend
+        self.step = build_render_step(cfg, scene, backend=backend)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<{type(self).__name__} backend={self.backend} cfg={self.cfg}>"
+
+
+class SphereProgram(PathtracingProgram):
+    """Analytic 128-sphere scene (SphereProgram, main.cpp:695-712)."""
+
+    name = "spherePT"
+
+    def __init__(self, cfg: RenderConfig, scene: SphereScene | None = None,
+                 backend: str = "auto"):
+        cfg = cfg.replace(scene_kind="sphere")
+        if scene is None:
+            scene = compute_spheres(cfg.sphere_count, cfg.world_size,
+                                    cfg.scene_seed)
+        super().__init__(cfg, scene, backend)
+
+
+class TriangleProgram(PathtracingProgram):
+    """Tessellated-mesh scene (TriangleProgram, main.cpp:714-788): the same
+    procedural spheres tessellated at (disc_lat, disc_long)."""
+
+    name = "trianglePT"
+
+    def __init__(self, cfg: RenderConfig, scene: TriangleScene | None = None,
+                 backend: str = "auto"):
+        cfg = cfg.replace(scene_kind="triangle")
+        if scene is None:
+            spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
+                                      cfg.scene_seed)
+            scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
+        super().__init__(cfg, scene, backend)

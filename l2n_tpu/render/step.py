@@ -1,0 +1,142 @@
+"""The jitted progressive render step.
+
+One call = one of the reference's frame dispatches (`gpuRender`,
+/root/reference/src/main.cpp:904-928): render `tiles_per_step` tiles from
+the shuffled schedule, accumulate radiance, tonemap the touched pixels,
+advance the tile cursor. Pure function of (FrameState, packed camera) with
+the state donated, so accumulation stays resident in HBM across frames —
+the analog of the reference's persistent GL textures.
+
+Backends:
+  * "xla"    — the full-frame vectorized oracle: every pixel is computed,
+    only scheduled pixels merge. Runs anywhere; it is the correctness
+    reference (the role of the reference's CPU renderer, main.cpp:206-599).
+  * "pallas" — fused TPU kernels over exactly the scheduled tiles
+    (l2n_tpu.ops.kernels); the production path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from l2n_tpu.config import RenderConfig
+from l2n_tpu.ops.pathtrace import generate_rays, shade
+from l2n_tpu.ops.scenes import sphere_intersector, triangle_intersector
+from l2n_tpu.render.state import FrameState
+from l2n_tpu.render.tiles import advance_offset, scheduled_pixel_mask, tile_grid
+from l2n_tpu.rng import tinymt
+from l2n_tpu.rng.sampler import (
+    MaskedSampler,
+    TausLCGSampler,
+    ThreefrySampler,
+    TinyMTSampler,
+    max_pairs_per_sample,
+)
+from l2n_tpu.scene.spheres import SphereScene
+from l2n_tpu.scene.tessellate import TriangleScene
+
+
+def make_sampler(cfg: RenderConfig, state: FrameState, pixel_index,
+                 sample_index, lane_mask):
+    """Per-step sampler from config + frame state (see rng.sampler)."""
+    if cfg.rng == "threefry":
+        inner = ThreefrySampler(cfg.seed, 0, pixel_index, sample_index,
+                                max_pairs_per_sample(cfg.max_bounces))
+    elif cfg.rng == "tinymt":
+        status, params = tinymt.unpack(state.rng_state)
+        inner = TinyMTSampler(status, params)
+    elif cfg.rng == "tauslcg":
+        inner = TausLCGSampler(tuple(state.rng_state[..., i] for i in range(4)))
+    else:  # pragma: no cover
+        raise ValueError(cfg.rng)
+    return MaskedSampler(inner, lane_mask)
+
+
+def merge_rng_state(cfg: RenderConfig, state: FrameState, sampler,
+                    lane_mask) -> jnp.ndarray | None:
+    """Fold the sampler's stepped per-pixel states back into the frame state
+    for scheduled lanes (stateful parity modes only)."""
+    if not sampler.stateful:
+        return state.rng_state
+    final = sampler.final_state()
+    if cfg.rng == "tinymt":
+        _, params = tinymt.unpack(state.rng_state)
+        new = tinymt.pack(final, params)
+    else:
+        new = jnp.stack(final, axis=-1)
+    return jnp.where(lane_mask[..., None], new, state.rng_state)
+
+
+def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
+              state: FrameState, camera: jnp.ndarray) -> FrameState:
+    h, w = cfg.height, cfg.width
+    k = cfg.effective_tiles_per_step
+    mask = scheduled_pixel_mask(cfg, tile_array, state.tile_offset, k)
+
+    py, px = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                          jnp.arange(w, dtype=jnp.int32), indexing="ij")
+    # pixelIndex = x + y * width (sphere_pathtracing.cs.glsl:365).
+    pixel_index = (px + py * jnp.int32(w)).astype(jnp.uint32)
+    sample_index = state.accum[..., 3].astype(jnp.uint32)
+
+    sampler = make_sampler(cfg, state, pixel_index, sample_index, mask)
+    u1, u2 = sampler.draw2()  # pixel jitter (glsl:371)
+    rays = generate_rays(cfg, camera, px.astype(jnp.float32),
+                         py.astype(jnp.float32), u1, u2)
+    r, g, b = shade(cfg, intersect, sampler, *rays, miss_color=miss_color)
+
+    # newEstimate = current + (color, 1); display = pow(rgb/n, gamma)
+    # (glsl:391-395), merged only for scheduled pixels.
+    rgb1 = jnp.stack([r, g, b, jnp.ones_like(r)], axis=-1)
+    accum = jnp.where(mask[..., None], state.accum + rgb1, state.accum)
+    display = jnp.power(
+        jnp.maximum(accum[..., :3], 0.0)
+        / jnp.maximum(accum[..., 3:4], jnp.float32(1e-20)),
+        jnp.float32(cfg.gamma))
+    output = jnp.where(mask[..., None], display, state.output)
+
+    return FrameState(
+        accum=accum,
+        output=output,
+        tile_offset=advance_offset(cfg, state.tile_offset),
+        iteration=state.iteration + 1,
+        rng_state=merge_rng_state(cfg, state, sampler, mask),
+    )
+
+
+def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
+                      donate: bool = True):
+    """Compile a render step for (config, scene).
+
+    scene: SphereScene or TriangleScene per cfg.scene_kind.
+    Returns step(state, packed_camera) -> state (jitted; state donated so
+    accumulation never leaves HBM).
+    """
+    cfg.validate()
+    tile_array = jnp.asarray(tile_grid(cfg))
+
+    if cfg.scene_kind == "sphere":
+        if not isinstance(scene, SphereScene):
+            raise TypeError("sphere config needs a SphereScene")
+        intersect = sphere_intersector(scene)
+        miss_color = (0.0, 0.0, 0.0)   # sphere normal AOV misses to black
+    else:
+        if not isinstance(scene, TriangleScene):
+            raise TypeError("triangle config needs a TriangleScene")
+        intersect = triangle_intersector(scene.soup())
+        miss_color = (1.0, 0.0, 1.0)   # triangle AOVs miss to magenta
+
+    if backend == "xla":
+        fn = partial(_xla_step, cfg, intersect, miss_color, tile_array)
+    elif backend == "pallas":
+        from l2n_tpu.ops.kernels import build_pallas_step
+        fn = build_pallas_step(cfg, scene, tile_array)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

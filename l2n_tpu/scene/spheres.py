@@ -1,0 +1,67 @@
+"""Procedural analytic-sphere scene.
+
+TPU-native analog of the reference's `Sphere` struct + `computeSpheres`
+(/root/reference/src/main.cpp:177-187, 656-669): 128 spheres with centers
+uniform in the ±worldSize/2 cube and radii up to 5% of worldSize. The
+reference's array-of-32-byte-structs becomes a structure-of-arrays —
+(cx, cy, cz, sqr_radius) component vectors — which is the layout the TPU VPU
+actually wants (each component broadcasts against a whole pixel tile).
+
+The reference seeds its `c2ba::RandomGenerator` implicitly; here the
+generator is an explicit fixed-seed numpy PCG64 so scenes are reproducible
+and configurable (same distribution, documented deviation in exact values —
+the reference's generator lives in a submodule not present in its snapshot).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SphereScene:
+    """SoA sphere scene. Shapes: all (sphere_count,) float32.
+
+    `sqr_radius` (not radius) is stored, matching the reference's
+    precomputation (`Sphere::sqrRadius`, src/main.cpp:180,185).
+    """
+
+    center_x: jnp.ndarray
+    center_y: jnp.ndarray
+    center_z: jnp.ndarray
+    sqr_radius: jnp.ndarray
+
+    @property
+    def count(self) -> int:
+        return self.center_x.shape[0]
+
+    def as_numpy(self) -> np.ndarray:
+        """(N, 4) float32 [cx, cy, cz, sqrRadius] — native-renderer interface."""
+        return np.stack(
+            [np.asarray(self.center_x), np.asarray(self.center_y),
+             np.asarray(self.center_z), np.asarray(self.sqr_radius)], axis=1
+        ).astype(np.float32)
+
+
+def compute_spheres(
+    sphere_count: int = 128, world_size: float = 1024.0, seed: int = 0
+) -> SphereScene:
+    """Generate the procedural scene (computeSpheres, src/main.cpp:659-669):
+    center ~ U(-worldSize/2, worldSize/2)^3, radius ~ U(0, 0.05 * worldSize).
+    """
+    gen = np.random.Generator(np.random.PCG64(seed))
+    # Draw in the reference's order: (cx, cy, cz, radius) per sphere.
+    u = gen.random((sphere_count, 4), dtype=np.float32)
+    centers = (-0.5 * world_size + world_size * u[:, :3]).astype(np.float32)
+    radii = (0.05 * world_size * u[:, 3]).astype(np.float32)
+    return SphereScene(
+        center_x=jnp.asarray(centers[:, 0]),
+        center_y=jnp.asarray(centers[:, 1]),
+        center_z=jnp.asarray(centers[:, 2]),
+        sqr_radius=jnp.asarray(radii * radii),
+    )

@@ -1,0 +1,91 @@
+"""Scene generation and tessellation tests (reference: src/main.cpp:601-669)."""
+
+import numpy as np
+import pytest
+
+from l2n_tpu.scene import (
+    SphereScene,
+    build_triangle_scene,
+    compute_spheres,
+    tessellate_sphere,
+    tessellate_sphere_info,
+)
+
+
+class TestSpheres:
+    def test_distribution_bounds(self):
+        s = compute_spheres(128, 1024.0, seed=0)
+        for c in (s.center_x, s.center_y, s.center_z):
+            c = np.asarray(c)
+            assert (c >= -512.0).all() and (c <= 512.0).all()
+        r = np.sqrt(np.asarray(s.sqr_radius))
+        assert (r >= 0).all() and (r <= 0.05 * 1024.0).all()
+        assert s.count == 128
+
+    def test_deterministic_and_seedable(self):
+        a = compute_spheres(16, 1024.0, seed=0)
+        b = compute_spheres(16, 1024.0, seed=0)
+        c = compute_spheres(16, 1024.0, seed=1)
+        np.testing.assert_array_equal(np.asarray(a.center_x), np.asarray(b.center_x))
+        assert not np.array_equal(np.asarray(a.center_x), np.asarray(c.center_x))
+
+    def test_as_numpy_layout(self):
+        s = compute_spheres(8, 100.0, seed=2)
+        arr = s.as_numpy()
+        assert arr.shape == (8, 4) and arr.dtype == np.float32
+        np.testing.assert_array_equal(arr[:, 3], np.asarray(s.sqr_radius))
+
+
+class TestTessellation:
+    def test_info_counts(self):
+        # Reference default 16x8: 153 vertices, 768 indices (SURVEY §2).
+        v, i = tessellate_sphere_info(16, 8)
+        assert v == 153 and i == 768
+
+    def test_vertices_on_sphere(self):
+        center = np.array([1.0, 2.0, 3.0], np.float32)
+        pos, nrm, tex, idx = tessellate_sphere(center, 2.0, 16, 8)
+        d = np.linalg.norm(pos - center, axis=1)
+        np.testing.assert_allclose(d, 2.0, atol=1e-4)
+        np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-5)
+        # Normals point outward: position = center + r * normal.
+        np.testing.assert_allclose(pos, center + 2.0 * nrm, atol=1e-4)
+        assert tex.min() >= 0.0 and tex.max() <= 1.0
+        assert idx.min() >= 0 and idx.max() < pos.shape[0]
+
+    def test_poles(self):
+        """First band is the south pole (theta=-pi/2 => n=(0,-1,0)), last the
+        north pole (main.cpp:628-636)."""
+        _, nrm, _, _ = tessellate_sphere(np.zeros(3), 1.0, 16, 8)
+        np.testing.assert_allclose(nrm[:17], [[0, -1, 0]] * 17, atol=1e-6)
+        np.testing.assert_allclose(nrm[-17:], [[0, 1, 0]] * 17, atol=1e-6)
+
+    def test_triangle_winding_consistent(self):
+        """All face normals of a tessellated sphere must point outward."""
+        pos, _, _, idx = tessellate_sphere(np.zeros(3), 1.0, 16, 8)
+        tri = idx.reshape(-1, 3)
+        v1, v2, v3 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
+        fn = np.cross(v2 - v1, v3 - v1)
+        centroid = (v1 + v2 + v3) / 3
+        dots = (fn * centroid).sum(1)
+        area = np.linalg.norm(fn, axis=1)
+        # Degenerate pole triangles aside, outward orientation everywhere.
+        assert (dots[area > 1e-7] > 0).all()
+
+    def test_build_triangle_scene(self):
+        spheres = compute_spheres(4, 256.0, seed=0)
+        ts = build_triangle_scene(spheres, 16, 8)
+        assert ts.mesh_count == 4
+        assert ts.total_triangles == 4 * 256
+        np.testing.assert_array_equal(np.asarray(ts.triangle_count), [256] * 4)
+        np.testing.assert_array_equal(np.asarray(ts.index_offset),
+                                      [0, 768, 1536, 2304])
+        soup = ts.soup()
+        assert soup["v1x"].shape == (1024,)
+        np.testing.assert_array_equal(
+            np.asarray(soup["mesh_id"]), np.repeat(np.arange(4), 256))
+        # Soup edges match indexed vertices.
+        tri0 = np.asarray(ts.indices[:3])
+        v = np.asarray(ts.vertices)
+        np.testing.assert_allclose(
+            np.asarray(soup["e1x"])[0], (v[tri0[1]] - v[tri0[0]])[0], atol=1e-6)
