@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness: Mrays/sec/chip for the fused sphere path tracer.
+
+Headline config (BASELINE.json): 1024x1024, the reference's 128-sphere
+procedural scene, depth-2 diffuse GI with Russian roulette and the
+Mandelbrot environment, counter-based threefry RNG, full frame per step.
+
+Metric definition: a "ray" is a physical path segment actually cast — 1
+primary per sample plus one continuation per Russian-roulette survivor
+(measured on this scene/camera via an instrumented oracle pass, not
+assumed). `vs_baseline` is the ratio to the 1 Gray/sec/chip north star
+(BASELINE.md).
+
+Prints ONE JSON line on stdout; human-readable detail goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def measure_mean_segments(cfg, scene, camera) -> float:
+    """Instrumented oracle pass: 1 + sum of RR-survivor fractions."""
+    import jax.numpy as jnp
+    from l2n_tpu.ops.pathtrace import generate_rays, trace_path
+    from l2n_tpu.render.step import make_intersector
+    from l2n_tpu.rng.sampler import ThreefrySampler, max_pairs_per_sample
+
+    intersect, _ = make_intersector(cfg, scene)
+    h, w = 256, 256  # statistics resolution (fractions converge fast)
+    py, px = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.int32) * (cfg.height // h),
+        jnp.arange(w, dtype=jnp.int32) * (cfg.width // w), indexing="ij")
+    pixel_index = (px + py * jnp.int32(cfg.padded_width)).astype(jnp.uint32)
+    sampler = ThreefrySampler(cfg.seed, 0, pixel_index,
+                              jnp.zeros((h, w), jnp.uint32),
+                              max_pairs_per_sample(cfg.max_bounces))
+    u1, u2 = sampler.draw2()
+    rays = generate_rays(cfg, jnp.asarray(camera.packed()),
+                         px.astype(jnp.float32), py.astype(jnp.float32),
+                         u1, u2)
+    stats: dict = {}
+    trace_path(cfg, intersect, sampler, *rays, stats=stats)
+    return 1.0 + float(sum(float(s) for s in stats["survive_fraction"]))
+
+
+def main() -> None:
+    import jax
+    from l2n_tpu.camera import Camera
+    from l2n_tpu.config import RenderConfig
+    from l2n_tpu.render.program import SphereProgram
+    from l2n_tpu.render.state import init_frame_state
+    from l2n_tpu.scene import compute_spheres
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg = RenderConfig(width=1024, height=1024, tile_height=32,
+                           tile_width=128, tiles_per_step=256).validate()
+        backend, frames = "pallas", 30
+    else:  # CPU fallback so the harness always emits a result
+        cfg = RenderConfig(width=256, height=256, tile_height=32,
+                           tile_width=128, tiles_per_step=16).validate()
+        backend, frames = "xla", 3
+    log(f"backend={backend} device={jax.devices()[0]} "
+        f"image={cfg.width}x{cfg.height} tiles/step={cfg.effective_tiles_per_step}")
+
+    scene = compute_spheres(cfg.sphere_count, cfg.world_size, cfg.scene_seed)
+    camera = Camera.from_config(cfg)
+    prog = SphereProgram(cfg, scene=scene, backend=backend)
+    state = init_frame_state(cfg)
+
+    # Warm up / compile.
+    state = prog.step(state, camera.packed())
+    state.output.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        state = prog.step(state, camera.packed())
+    state.output.block_until_ready()
+    dt = (time.perf_counter() - t0) / frames
+
+    pixels_per_step = (cfg.effective_tiles_per_step * cfg.tile_height
+                       * cfg.tile_width)
+    samples_per_sec = pixels_per_step / dt
+    spp_per_sec = samples_per_sec / (cfg.width * cfg.height)
+
+    mean_segments = measure_mean_segments(cfg, scene, camera)
+    mrays_per_sec = samples_per_sec * mean_segments / 1e6
+
+    log(f"{dt * 1e3:.2f} ms/step, {samples_per_sec / 1e6:.1f} Msamples/s, "
+        f"{spp_per_sec:.1f} spp/s, mean segments/sample {mean_segments:.3f}")
+    log(f"=> {mrays_per_sec:.1f} Mrays/s (north star 1000)")
+
+    result = {
+        "metric": "Mrays/sec/chip (sphere path tracer, 1024x1024, depth 2 + RR)"
+                  if on_tpu else "Mrays/sec (CPU fallback, 256x256)",
+        "value": round(mrays_per_sec, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays_per_sec / 1000.0, 4),
+        "detail": {
+            "samples_per_sec_M": round(samples_per_sec / 1e6, 2),
+            "spp_per_sec": round(spp_per_sec, 2),
+            "mean_segments_per_sample": round(mean_segments, 4),
+            "ms_per_full_frame_spp": round(dt * 1e3 * (cfg.width * cfg.height)
+                                           / pixels_per_step, 3),
+            "backend": backend,
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

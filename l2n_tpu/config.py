@@ -83,6 +83,12 @@ class RenderConfig:
     rng: str = "threefry"
     seed: int = 0
 
+    # Kernel tuning ------------------------------------------------------------
+    # Skip whole bounce sweeps in tile kernels when no lane is alive (the
+    # analog of the reference's SIMT while-exit, glsl:280). Automatically
+    # disabled for stateful RNG parity modes (stream sync).
+    skip_empty_tiles: bool = True
+
     # Debug / AOV ------------------------------------------------------------
     # "pathtracing" | "normal" | "ambient_occlusion" | "hit" | "tex_coords"
     # | "param_uv" — the reference's comment-toggled debug channels
@@ -100,6 +106,18 @@ class RenderConfig:
     @property
     def aspect_ratio(self) -> float:
         return self.width / self.height
+
+    @property
+    def padded_width(self) -> int:
+        """Framebuffer width rounded up to the tile grid. The reference
+        bounds-guards partial tiles in-kernel (glsl:361-363); the TPU-native
+        framebuffer is instead padded so every tile is full (the pad pixels
+        render but are cropped at display)."""
+        return self.tile_count_x * self.tile_width
+
+    @property
+    def padded_height(self) -> int:
+        return self.tile_count_y * self.tile_height
 
     @property
     def tile_count_x(self) -> int:

@@ -1,0 +1,502 @@
+// l2n_tpu native tier: multithreaded CPU reference renderer + RNG cores.
+//
+// The TPU framework's analog of the reference's host-side renderer
+// (/root/reference/src/main.cpp:206-599 `CPUSpherePathtracing`): a fully
+// independent scalar implementation of the same pipeline, used as a test
+// oracle against the JAX/Pallas paths. Parallelism mirrors the reference:
+// one std::thread per hardware thread pulling tiles from an atomic queue
+// (main.cpp:516-592).
+//
+// RNG: counter-based threefry-2x32 keyed on (pixel, sample, pair) — the
+// same addressing as l2n_tpu.rng.threefry — plus a canonical TinyMT32
+// implementation (from the TinyMT spec; the reference embeds the same
+// algorithm at src/tinymt32.{hpp,cpp}) for the stateful parity mode.
+//
+// Build: see l2n_tpu/native/__init__.py (g++ -O3 -shared -fPIC).
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Threefry-2x32 (Salmon et al.), identical constants to rng/threefry.py.
+// ---------------------------------------------------------------------------
+
+constexpr int kRot[8] = {13, 15, 26, 6, 17, 29, 16, 24};
+
+inline uint32_t rotl(uint32_t x, int r) {
+  return (x << r) | (x >> (32 - r));
+}
+
+inline void threefry2x32(uint32_t k0, uint32_t k1, uint32_t x0, uint32_t x1,
+                         uint32_t* o0, uint32_t* o1) {
+  const uint32_t ks[3] = {k0, k1, k0 ^ k1 ^ 0x1BD11BDAu};
+  x0 += ks[0];
+  x1 += ks[1];
+  for (int block = 0; block < 5; ++block) {
+    for (int r = 0; r < 4; ++r) {
+      x0 += x1;
+      x1 = rotl(x1, kRot[(block % 2) * 4 + r]);
+      x1 ^= x0;
+    }
+    const int inj = block + 1;
+    x0 += ks[inj % 3];
+    x1 += ks[(inj + 1) % 3] + static_cast<uint32_t>(inj);
+  }
+  *o0 = x0;
+  *o1 = x1;
+}
+
+// uint32 -> float strictly in (0, 1): the reference's 0x3f800001 exponent
+// trick (rand_tinymt32.cs.glsl:96-112).
+inline float uniform_oo(uint32_t bits) {
+  uint32_t u = (bits >> 9) | 0x3F800001u;
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f - 1.0f;
+}
+
+// ---------------------------------------------------------------------------
+// TinyMT32 (127-bit state; Saito & Matsumoto algorithm).
+// ---------------------------------------------------------------------------
+
+struct TinyMT {
+  uint32_t s[4];
+  uint32_t mat1, mat2, tmat;
+};
+
+inline void tinymt_next(TinyMT* r) {
+  uint32_t y = r->s[3];
+  uint32_t x = (r->s[0] & 0x7FFFFFFFu) ^ r->s[1] ^ r->s[2];
+  x ^= x << 1;
+  y ^= (y >> 1) ^ x;
+  r->s[0] = r->s[1];
+  r->s[1] = r->s[2];
+  r->s[2] = x ^ (y << 10);
+  r->s[3] = y;
+  uint32_t m = 0u - (y & 1u);
+  r->s[1] ^= m & r->mat1;
+  r->s[2] ^= m & r->mat2;
+}
+
+inline uint32_t tinymt_temper(const TinyMT* r) {
+  uint32_t t0 = r->s[3];
+  uint32_t t1 = r->s[0] + (r->s[2] >> 8);
+  t0 ^= t1;
+  return t0 ^ ((0u - (t1 & 1u)) & r->tmat);
+}
+
+inline float tinymt_float_oo(TinyMT* r) {
+  tinymt_next(r);
+  uint32_t t0 = r->s[3];
+  uint32_t t1 = r->s[0] + (r->s[2] >> 8);
+  t0 ^= t1;
+  uint32_t u = ((t0 ^ ((0u - (t1 & 1u)) & r->tmat)) >> 9) | 0x3F800001u;
+  float f;
+  std::memcpy(&f, &u, 4);
+  return f - 1.0f;
+}
+
+void tinymt_init(TinyMT* r, uint32_t seed) {
+  r->s[0] = seed;
+  r->s[1] = r->mat1;
+  r->s[2] = r->mat2;
+  r->s[3] = r->tmat;
+  for (uint32_t i = 1; i < 8; ++i) {
+    uint32_t prev = r->s[(i - 1) & 3];
+    r->s[i & 3] ^= i + 1812433253u * (prev ^ (prev >> 30));
+  }
+  if ((r->s[0] & 0x7FFFFFFFu) == 0 && r->s[1] == 0 && r->s[2] == 0 &&
+      r->s[3] == 0) {
+    r->s[0] = 'T';
+    r->s[1] = 'I';
+    r->s[2] = 'N';
+    r->s[3] = 'Y';
+  }
+  for (int i = 0; i < 8; ++i) tinymt_next(r);
+}
+
+// ---------------------------------------------------------------------------
+// Sampler: threefry counter mode or per-pixel TinyMT state mode.
+// ---------------------------------------------------------------------------
+
+struct Sampler {
+  int mode;  // 0 = threefry, 1 = tinymt
+  // threefry
+  uint32_t seed, stream;
+  uint32_t pixel, base;
+  int pair;
+  // tinymt (borrowed pointer into the caller's state planes)
+  TinyMT tm;
+
+  void draw2(float* u1, float* u2) {
+    if (mode == 0) {
+      uint32_t a, b;
+      threefry2x32(seed, stream, pixel, base + static_cast<uint32_t>(pair++),
+                   &a, &b);
+      *u1 = uniform_oo(a);
+      *u2 = uniform_oo(b);
+    } else {
+      *u1 = tinymt_float_oo(&tm);
+      *u2 = tinymt_float_oo(&tm);
+    }
+  }
+  float draw1() {
+    if (mode == 0) {
+      float a, b;
+      draw2(&a, &b);
+      return a;
+    }
+    return tinymt_float_oo(&tm);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Math helpers (mirroring l2n_tpu.maths.sampling / ops.envlight).
+// ---------------------------------------------------------------------------
+
+struct V3 {
+  float x, y, z;
+};
+inline V3 operator+(V3 a, V3 b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
+inline V3 operator-(V3 a, V3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+inline V3 operator*(float s, V3 a) { return {s * a.x, s * a.y, s * a.z}; }
+inline float dot(V3 a, V3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+inline V3 cross(V3 a, V3 b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+inline V3 normalize(V3 a) {
+  float r = 1.0f / std::sqrt(dot(a, a));
+  return r * a;
+}
+
+// Same minimax atan2 polynomial as maths/fastmath.py so env parity is tight.
+inline float poly_atan2(float y, float x) {
+  static const float C[6] = {0.99997726f, -0.33262347f, 0.19354346f,
+                             -0.11643287f, 0.05265332f, -0.01172120f};
+  float ax = std::fabs(x), ay = std::fabs(y);
+  float hi = ax > ay ? ax : ay;
+  float lo = ax > ay ? ay : ax;
+  float t = lo / (hi > 1e-37f ? hi : 1e-37f);
+  float s = t * t;
+  float p = C[5];
+  for (int i = 4; i >= 0; --i) p = p * s + C[i];
+  float a = t * p;
+  if (ay > ax) a = 1.5707964f - a;
+  if (x < 0.0f) a = 3.1415927f - a;
+  return y < 0.0f ? -a : a;
+}
+
+constexpr float kPi = 3.14159265358979323846f;
+
+// frameZ (sphere_pathtracing.cs.glsl:102-117).
+inline void frame_z(V3 z, V3* t, V3* b) {
+  if (std::fabs(z.y) > std::fabs(z.x)) {
+    float rcp = 1.0f / std::sqrt(z.x * z.x + z.y * z.y);
+    *t = {rcp * z.y, -rcp * z.x, 0.0f};
+  } else {
+    float rcp = 1.0f / std::sqrt(z.x * z.x + z.z * z.z);
+    *t = {rcp * z.z, 0.0f, -rcp * z.x};
+  }
+  *b = cross(z, *t);
+}
+
+inline V3 cosine_hemisphere(float u1, float u2) {
+  float r = std::sqrt(u1);
+  float phi = 2.0f * kPi * u2;
+  float ct = std::sqrt(u1 < 1.0f ? 1.0f - u1 : 0.0f);
+  return {r * std::cos(phi), r * std::sin(phi), ct};
+}
+
+inline V3 albedo_of(int32_t n) {
+  // fract(sin((n+1)*k)*43758.5453) (glsl:215-222).
+  float f = static_cast<float>(n + 1);
+  auto chan = [&](float k) {
+    float v = std::sin(f * k) * 43758.5453f;
+    return v - std::floor(v);
+  };
+  return {chan(12.9898f), chan(78.233f), chan(56.128f)};
+}
+
+inline float luminance(V3 c) {
+  return 0.212671f * c.x + 0.715160f * c.y + 0.072169f * c.z;
+}
+
+inline float mandelbrot_le(V3 d) {
+  float sin_t = std::sqrt(d.x * d.x + d.y * d.y);
+  float theta = poly_atan2(sin_t, d.z);
+  float phi = poly_atan2(d.y, d.x);
+  float u = phi / kPi;
+  float v = -1.0f + 2.0f * theta / kPi;
+  float px = 8.0f * u, py = 4.0f * v;
+  float zx = 0.0f, zy = 0.0f;
+  for (int i = 0; i < 64; ++i) {
+    float nx = zx * zx - zy * zy + px;
+    float ny = 2.0f * zx * zy + py;
+    zx = nx;
+    zy = ny;
+    if (zx * zx + zy * zy > 4.0f) return static_cast<float>(i) / 64.0f;
+  }
+  return 0.0f;
+}
+
+inline float sun_le(V3 d) {
+  const float s = 0.57735027f;  // normalize(1,1,-1)
+  float c = s * d.x + s * d.y - s * d.z;
+  if (c <= 0.0f) return 0.0f;
+  float p = c;
+  for (int i = 0; i < 7; ++i) p *= p;  // c^128
+  return p;
+}
+
+// ---------------------------------------------------------------------------
+// Scene + config plumbed from Python (packed camera layout = camera.py).
+// ---------------------------------------------------------------------------
+
+struct Config {
+  int32_t width, height;          // visible image size (NDC denominators)
+  int32_t buf_width, buf_height;  // padded plane dims
+  int32_t tile_width, tile_height;
+  int32_t max_bounces;
+  int32_t emissive_every;
+  float emission_scale;
+  float rr_ceiling;
+  float ray_epsilon;
+  int32_t env_mode;  // 0 none, 1 mandelbrot, 2 sun
+  float env_scale;
+  float gamma;
+  int32_t rng_mode;  // 0 threefry, 1 tinymt
+  uint32_t seed;
+  uint32_t stream;
+  int32_t max_pairs;
+  int32_t ray_gen;  // 0 fovy, 1 viewproj
+  int32_t aov;      // 0 pathtracing, 1 normal, 2 hit
+};
+
+struct Hit {
+  float t;  // -1 miss
+  V3 n;
+  int32_t index;
+  float r2;
+};
+
+inline Hit intersect_scene(const float* spheres, int n, V3 org, V3 dir) {
+  // intersectScene (glsl:199-213): linear nearest-hit scan; t = t1 if
+  // t1 >= 0 else t2.
+  Hit h{-1.0f, {0, 0, 0}, -1, 1.0f};
+  V3 best_c{0, 0, 0};
+  for (int i = 0; i < n; ++i) {
+    V3 c{spheres[4 * i], spheres[4 * i + 1], spheres[4 * i + 2]};
+    float r2 = spheres[4 * i + 3];
+    V3 co = org - c;
+    float b = 2.0f * dot(co, dir);
+    float cc = dot(co, co) - r2;
+    float disc = b * b - 4.0f * cc;
+    if (disc < 0.0f) continue;
+    float sq = std::sqrt(disc);
+    float t1 = 0.5f * (-b - sq);
+    float t2 = 0.5f * (-b + sq);
+    float t = t1 >= 0.0f ? t1 : t2;
+    if (t >= 0.0f && (h.t < 0.0f || t < h.t)) {
+      h.t = t;
+      h.index = i;
+      h.r2 = r2;
+      best_c = c;
+    }
+  }
+  if (h.t >= 0.0f) h.n = normalize(org + h.t * dir - best_c);
+  return h;
+}
+
+// pathtracing with the GPU kernel's semantics (glsl:272-317).
+V3 trace_path(const Config& cfg, const float* spheres, int n, V3 org, V3 dir,
+              Sampler* rng) {
+  V3 tp{1, 1, 1}, col{0, 0, 0};
+  Hit h = intersect_scene(spheres, n, org, dir);
+  float dist = h.t;
+  for (int bounce = 0; bounce < cfg.max_bounces && dist >= 0.0f; ++bounce) {
+    if (h.index % cfg.emissive_every == 0) {
+      float e = cfg.emission_scale / (4.0f * kPi * h.r2);
+      col = col + e * tp;
+      dist = -2.0f;
+      break;
+    }
+    V3 t, b;
+    frame_z(h.n, &t, &b);
+    org = org + h.t * dir;
+    float u1, u2;
+    rng->draw2(&u1, &u2);
+    V3 l = cosine_hemisphere(u1, u2);
+    dir = normalize(V3{t.x * l.x + b.x * l.y + h.n.x * l.z,
+                       t.y * l.x + b.y * l.y + h.n.y * l.z,
+                       t.z * l.x + b.z * l.y + h.n.z * l.z});
+    V3 kd = albedo_of(h.index);
+    tp = {tp.x * kd.x, tp.y * kd.y, tp.z * kd.z};
+    float rr = rng->draw1();
+    float p = luminance(tp);
+    if (p > cfg.rr_ceiling) p = cfg.rr_ceiling;
+    if (rr < p) {
+      tp = (1.0f / p) * tp;
+      h = intersect_scene(spheres, n, org + cfg.ray_epsilon * dir, dir);
+      dist = h.t;
+    } else {
+      dist = -2.0f;
+    }
+  }
+  if (dist == -1.0f && h.index % cfg.emissive_every != 0 && cfg.env_mode != 0) {
+    float le = cfg.env_mode == 1 ? mandelbrot_le(dir) : sun_le(dir);
+    col = col + (cfg.env_scale * le) * tp;
+  }
+  return col;
+}
+
+}  // namespace
+
+extern "C" {
+
+// RNG entry points for parity tests -----------------------------------------
+
+void l2n_threefry2x32(uint32_t k0, uint32_t k1, const uint32_t* x0,
+                      const uint32_t* x1, uint32_t* o0, uint32_t* o1,
+                      int64_t n) {
+  for (int64_t i = 0; i < n; ++i)
+    threefry2x32(k0, k1, x0[i], x1[i], &o0[i], &o1[i]);
+}
+
+void l2n_tinymt_uint32(uint32_t mat1, uint32_t mat2, uint32_t tmat,
+                       uint32_t seed, uint32_t* out, int64_t n) {
+  TinyMT r{{0, 0, 0, 0}, mat1, mat2, tmat};
+  tinymt_init(&r, seed);
+  for (int64_t i = 0; i < n; ++i) {
+    tinymt_next(&r);
+    out[i] = tinymt_temper(&r);
+  }
+}
+
+// The renderer ----------------------------------------------------------------
+//
+// accum/output are channel-major planes matching FrameState: accum
+// (4, buf_height, buf_width), output (3, ...). camera is the packed (10, 4)
+// block. tiles is (tile_count, 2) int32 (tx, ty); renders `count` tiles
+// starting at `offset` with wraparound — renderTiles semantics
+// (main.cpp:516-592). rng_state (tinymt mode): (8, H, W) uint32 planes,
+// stepped in place. Returns 0 on success.
+
+int32_t l2n_render_tiles(const Config* cfg, const float* spheres,
+                         int32_t sphere_count, const float* camera,
+                         const int32_t* tiles, int32_t tile_count,
+                         int32_t offset, int32_t count, float* accum,
+                         float* output, uint32_t* rng_state,
+                         int32_t num_threads) {
+  const int W = cfg->buf_width, H = cfg->buf_height;
+  const int64_t plane = static_cast<int64_t>(W) * H;
+  const V3 cam_pos{camera[4 * 8 + 0], camera[4 * 8 + 1], camera[4 * 8 + 2]};
+  const float ratio = camera[4 * 9 + 0];
+  const float tan_half = camera[4 * 9 + 1];
+
+  int threads = num_threads > 0
+                    ? num_threads
+                    : static_cast<int>(std::thread::hardware_concurrency());
+  if (threads < 1) threads = 1;
+  std::atomic<int32_t> next_tile{0};
+
+  auto worker = [&]() {
+    int32_t ti;
+    while ((ti = next_tile.fetch_add(1)) < count) {
+      int32_t slot = (ti + offset) % tile_count;
+      int32_t tx = tiles[2 * slot], ty = tiles[2 * slot + 1];
+      for (int py = ty * cfg->tile_height;
+           py < (ty + 1) * cfg->tile_height && py < H; ++py) {
+        for (int px = tx * cfg->tile_width;
+             px < (tx + 1) * cfg->tile_width && px < W; ++px) {
+          const int64_t pix = static_cast<int64_t>(py) * W + px;
+
+          Sampler rng{};
+          rng.mode = cfg->rng_mode;
+          if (cfg->rng_mode == 0) {
+            rng.seed = cfg->seed;
+            rng.stream = cfg->stream;
+            rng.pixel = static_cast<uint32_t>(pix);
+            rng.base = static_cast<uint32_t>(accum[3 * plane + pix]) *
+                       static_cast<uint32_t>(cfg->max_pairs);
+            rng.pair = 0;
+          } else {
+            for (int wdx = 0; wdx < 4; ++wdx)
+              rng.tm.s[wdx] = rng_state[wdx * plane + pix];
+            rng.tm.mat1 = rng_state[4 * plane + pix];
+            rng.tm.mat2 = rng_state[5 * plane + pix];
+            rng.tm.tmat = rng_state[6 * plane + pix];
+          }
+
+          float u1, u2;
+          rng.draw2(&u1, &u2);  // pixel jitter (glsl:371)
+          float sx = (static_cast<float>(px) + u1) / cfg->width;
+          float sy = (static_cast<float>(py) + u2) / cfg->height;
+          float ndx = -1.0f + 2.0f * sx;
+          float ndy = -1.0f + 2.0f * sy;
+
+          V3 world;
+          if (cfg->ray_gen == 0) {  // fovy trick (glsl:378-384)
+            float vx = ndx * ratio * tan_half;
+            float vy = ndy * tan_half;
+            const float* m = camera;  // rows 0..3 = rcpView
+            world = {m[0] * vx + m[1] * vy - m[2] + m[3],
+                     m[4] * vx + m[5] * vy - m[6] + m[7],
+                     m[8] * vx + m[9] * vy - m[10] + m[11]};
+          } else {  // inverse view-projection (main.cpp:562-567)
+            const float* m = camera + 16;  // rows 4..7
+            float wx = m[0] * ndx + m[1] * ndy + m[2] + m[3];
+            float wy = m[4] * ndx + m[5] * ndy + m[6] + m[7];
+            float wz = m[8] * ndx + m[9] * ndy + m[10] + m[11];
+            float ww = m[12] * ndx + m[13] * ndy + m[14] + m[15];
+            world = (1.0f / ww) * V3{wx, wy, wz};
+          }
+          V3 dir = normalize(world - cam_pos);
+
+          V3 color;
+          if (cfg->aov == 1) {  // normal AOV
+            Hit h = intersect_scene(spheres, sphere_count, cam_pos, dir);
+            color = h.t >= 0.0f ? h.n : V3{0, 0, 0};
+          } else if (cfg->aov == 2) {  // hit AOV
+            Hit h = intersect_scene(spheres, sphere_count, cam_pos, dir);
+            float v = h.t >= 0.0f ? 1.0f : 0.0f;
+            color = {v, v, v};
+          } else {
+            color = trace_path(*cfg, spheres, sphere_count, cam_pos, dir, &rng);
+          }
+
+          // newEstimate = current + (color, 1); out = pow(rgb/n, gamma)
+          // (glsl:391-395).
+          float nsamp = accum[3 * plane + pix] + 1.0f;
+          accum[0 * plane + pix] += color.x;
+          accum[1 * plane + pix] += color.y;
+          accum[2 * plane + pix] += color.z;
+          accum[3 * plane + pix] = nsamp;
+          for (int c = 0; c < 3; ++c) {
+            float mean = accum[c * plane + pix] / nsamp;
+            output[c * plane + pix] =
+                mean <= 0.0f ? 0.0f : std::pow(mean, cfg->gamma);
+          }
+
+          if (cfg->rng_mode == 1) {
+            for (int wdx = 0; wdx < 4; ++wdx)
+              rng_state[wdx * plane + pix] = rng.tm.s[wdx];
+          }
+        }
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int i = 0; i < threads; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
+}  // extern "C"

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from l2n_tpu.maths.fastmath import atan2
 from l2n_tpu.maths.sampling import PI
 
 MANDELBROT_ITERS = 64  # glsl:251
@@ -29,8 +30,8 @@ def mandelbrot_le(dx, dy, dz):
     """
     f32 = jnp.float32
     sin_theta = jnp.sqrt(dx * dx + dy * dy)
-    theta = jnp.arctan2(sin_theta, dz)
-    phi = jnp.arctan2(dy, dx)
+    theta = atan2(sin_theta, dz)
+    phi = atan2(dy, dx)
     u = phi * f32(1.0 / PI)
     v = f32(-1.0) + f32(2.0 / PI) * theta
     px = f32(8.0) * u
@@ -39,24 +40,25 @@ def mandelbrot_le(dx, dy, dz):
     shape = jnp.shape(px)
     zx = jnp.zeros(shape, f32)
     zy = jnp.zeros(shape, f32)
-    esc = jnp.zeros(shape, jnp.int32)
-    diverged = jnp.zeros(shape, jnp.bool_)
+    # Escape iteration; MANDELBROT_ITERS means "not diverged (yet)". Kept as
+    # int32 — boolean vectors in fori_loop carries fail Mosaic legalization.
+    esc = jnp.full(shape, MANDELBROT_ITERS, jnp.int32)
 
     def body(i, carry):
-        zx, zy, esc, diverged = carry
+        zx, zy, esc = carry
+        not_div = esc == MANDELBROT_ITERS
         nzx = zx * zx - zy * zy + px
         nzy = f32(2.0) * zx * zy + py
-        zx = jnp.where(diverged, zx, nzx)
-        zy = jnp.where(diverged, zy, nzy)
+        zx = jnp.where(not_div, nzx, zx)
+        zy = jnp.where(not_div, nzy, zy)
         now = (zx * zx + zy * zy) > f32(4.0)
-        just = now & ~diverged
-        esc = jnp.where(just, i, esc)
-        return zx, zy, esc, diverged | now
+        esc = jnp.where(not_div & now, i, esc)
+        return zx, zy, esc
 
-    zx, zy, esc, diverged = jax.lax.fori_loop(
-        0, MANDELBROT_ITERS, body, (zx, zy, esc, diverged))
-    return jnp.where(
-        diverged, esc.astype(f32) * f32(1.0 / MANDELBROT_ITERS), f32(0.0))
+    zx, zy, esc = jax.lax.fori_loop(
+        0, MANDELBROT_ITERS, body, (zx, zy, esc))
+    return jnp.where(esc < MANDELBROT_ITERS,
+                     esc.astype(f32) * f32(1.0 / MANDELBROT_ITERS), f32(0.0))
 
 
 def sun_le(dx, dy, dz):

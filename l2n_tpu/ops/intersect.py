@@ -37,10 +37,11 @@ def intersect_sphere_scene(
     fetch(i) -> (cx, cy, cz, sqr_radius).
 
     Per-sphere math mirrors `intersectSphere` (sphere_pathtracing.cs.glsl:
-    145-163): b = 2*dot(org-c, dir), c = |org-c|^2 - r^2, t = t1 if t1 >= 0
-    else t2 (so a ray starting inside a sphere hits its backside). A
-    candidate wins when t >= 0 and (no hit yet or t < best)
-    (glsl:190,205).
+    145-163) in half-b form (hb = b/2, quarter discriminant): t = t1 if
+    t1 >= 0 else t2 (so a ray starting inside a sphere hits its backside);
+    a candidate wins when t >= 0 and t < best (glsl:190,205) — internally
+    "no hit" is +BIG so the winner test is one compare; the boundary
+    converts back to the reference's -1 sentinel.
 
     Returns (t, px, py, pz, nx, ny, nz, index, sqr_radius) — index is int32,
     -1 on miss; position/normal/sqr_radius are for the winning sphere (the
@@ -48,7 +49,8 @@ def intersect_sphere_scene(
     """
     shape = jnp.broadcast_shapes(jnp.shape(ox), jnp.shape(dx))
     f32 = jnp.float32
-    best_t = jnp.full(shape, -1.0, f32)
+    big = f32(3.0e38)
+    best_t = jnp.full(shape, big, f32)
     best_i = jnp.full(shape, -1, jnp.int32)
     best_cx = jnp.zeros(shape, f32)
     best_cy = jnp.zeros(shape, f32)
@@ -59,15 +61,15 @@ def intersect_sphere_scene(
         best_t, best_i, bcx, bcy, bcz, br2 = carry
         cx, cy, cz, r2 = fetch(i)
         rox, roy, roz = ox - cx, oy - cy, oz - cz
-        b = 2.0 * (rox * dx + roy * dy + roz * dz)
+        hb = rox * dx + roy * dy + roz * dz
         c = rox * rox + roy * roy + roz * roz - r2
-        disc = b * b - 4.0 * c
+        disc = hb * hb - c
         sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
-        t1 = f32(0.5) * (-b - sq)
-        t2 = f32(0.5) * (-b + sq)
+        t1 = -hb - sq
+        t2 = sq - hb
         t = jnp.where(t1 >= 0.0, t1, t2)
-        valid = (disc >= 0.0) & (t >= 0.0)
-        better = valid & ((best_t < 0.0) | (t < best_t))
+        t = jnp.where((disc >= 0.0) & (t >= 0.0), t, big)
+        better = t < best_t
         best_t = jnp.where(better, t, best_t)
         best_i = jnp.where(better, jnp.int32(i), best_i)
         bcx = jnp.where(better, jnp.broadcast_to(cx, shape), bcx)
@@ -80,12 +82,13 @@ def intersect_sphere_scene(
     best_t, best_i, bcx, bcy, bcz, best_r2 = jax.lax.fori_loop(
         0, sphere_count, body, carry, unroll=unroll)
 
+    hit = best_t < big
+    best_t = jnp.where(hit, best_t, f32(-1.0))
     px = ox + best_t * dx
     py = oy + best_t * dy
     pz = oz + best_t * dz
     nx, ny, nz = px - bcx, py - bcy, pz - bcz
     rcp = f32(1.0) / jnp.sqrt(nx * nx + ny * ny + nz * nz)
-    hit = best_t >= 0.0
     # Avoid inf/nan normals on miss lanes (rcp of 0-length vector).
     rcp = jnp.where(hit, rcp, f32(0.0))
     return best_t, px, py, pz, nx * rcp, ny * rcp, nz * rcp, best_i, best_r2

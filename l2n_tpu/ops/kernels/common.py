@@ -1,0 +1,89 @@
+"""Shared plumbing for the fused path-tracing kernels."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from l2n_tpu.rng.sampler import (
+    TausLCGSampler,
+    ThreefrySampler,
+    TinyMTSampler,
+    max_pairs_per_sample,
+)
+
+
+def interpret_mode() -> bool:
+    """Kernels run compiled on TPU; everywhere else (CPU tests, the virtual
+    device mesh) they run in the Pallas interpreter — the analog of the
+    reference's synchronous debug context as a validation layer (SURVEY §4)."""
+    return jax.default_backend() != "tpu"
+
+
+def tile_pixel_coords(cfg, tile_x, tile_y):
+    """(row, col) int32 arrays of shape (tile_height, tile_width) for a tile:
+    pixelCoords = tile * tileSize + localInvocation (glsl:359)."""
+    th, tw = cfg.tile_height, cfg.tile_width
+    row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + tile_y * th
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + tile_x * tw
+    return row, col
+
+
+def make_kernel_sampler(cfg, pixel_index, sample_index, rng_in_ref,
+                        rng_out_ref):
+    """Build the configured sampler inside a kernel body.
+
+    For stateful modes the per-pixel state planes ride in/out as aliased
+    VMEM blocks; returns (sampler, finalize) where finalize() writes the
+    stepped states to the output ref.
+    """
+    if cfg.rng == "threefry":
+        sampler = ThreefrySampler(cfg.seed, 0, pixel_index, sample_index,
+                                  max_pairs_per_sample(cfg.max_bounces))
+        return sampler, lambda: None
+    if cfg.rng == "tinymt":
+        words = tuple(rng_in_ref[i] for i in range(7))
+        sampler = TinyMTSampler(words[:4], words[4:7])
+
+        def finalize():
+            final = sampler.final_state()
+            for i in range(4):
+                rng_out_ref[i] = final[i]
+            for i in range(4, 8):
+                rng_out_ref[i] = rng_in_ref[i]
+        return sampler, finalize
+    if cfg.rng == "tauslcg":
+        sampler = TausLCGSampler(tuple(rng_in_ref[i] for i in range(4)))
+
+        def finalize():
+            final = sampler.final_state()
+            for i in range(4):
+                rng_out_ref[i] = final[i]
+        return sampler, finalize
+    raise ValueError(cfg.rng)  # pragma: no cover
+
+
+def safe_gamma(x, gamma: float):
+    """pow(x, gamma) for x >= 0 without NaN at 0 (Mosaic-safe exp/log form);
+    the display transform pow(rgb/n, 0.45) (glsl:392)."""
+    g = jnp.float32(gamma)
+    safe = jnp.maximum(x, jnp.float32(1e-30))
+    return jnp.where(x <= 0.0, jnp.float32(0.0), jnp.exp(g * jnp.log(safe)))
+
+
+def accumulate_and_tonemap(cfg, accum_in_ref, accum_out_ref, out_ref, r, g, b):
+    """newEstimate = current + (color, 1); out = pow(rgb/n, gamma)
+    (glsl:391-395) over the whole tile block."""
+    n = accum_in_ref[3] + jnp.float32(1.0)
+    cr = accum_in_ref[0] + r
+    cg = accum_in_ref[1] + g
+    cb = accum_in_ref[2] + b
+    accum_out_ref[0] = cr
+    accum_out_ref[1] = cg
+    accum_out_ref[2] = cb
+    accum_out_ref[3] = n
+    inv = jnp.float32(1.0) / n
+    out_ref[0] = safe_gamma(cr * inv, cfg.gamma)
+    out_ref[1] = safe_gamma(cg * inv, cfg.gamma)
+    out_ref[2] = safe_gamma(cb * inv, cfg.gamma)

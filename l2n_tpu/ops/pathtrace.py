@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from l2n_tpu.camera.camera import ROW_POSITION, ROW_PROJ, ROW_RCP_VIEW, ROW_RCP_VIEW_PROJ
@@ -128,27 +129,38 @@ def generate_rays(cfg, cam, px, py, u1, u2):
 # Path tracing (the "pathtracing" render mode)
 # ---------------------------------------------------------------------------
 
-def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz):
+def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
+               skip_empty: bool = False, stats: dict | None = None):
     """Trace one sample per lane; returns (r, g, b).
 
     Exact mask translation of sphere_pathtracing.cs.glsl:272-317 — see the
     inline references. Every lane executes every bounce's arithmetic;
     masks decide what is kept (the TPU trade for SIMT divergence).
+
+    `skip_empty=True` wraps each bounce in `lax.cond(any(alive))` so a lane
+    block with no surviving paths skips the whole scene sweep — the TPU
+    analog of the reference's early SIMT `while` exit (glsl:280), profitable
+    inside tile kernels (sky tiles die after the primary cast). Only valid
+    with stateless samplers: skipping must not desynchronize per-pixel RNG
+    streams, so it is disabled automatically for stateful parity modes.
     """
     f32 = jnp.float32
     shape = jnp.shape(dx)
-    tp_r = jnp.ones(shape, f32)
-    tp_g = jnp.ones(shape, f32)
-    tp_b = jnp.ones(shape, f32)
-    col_r = jnp.zeros(shape, f32)
-    col_g = jnp.zeros(shape, f32)
-    col_b = jnp.zeros(shape, f32)
 
     hit = intersect(ox, oy, oz, dx, dy, dz)
-    dist = hit.t  # tri-state sentinel: >=0 hit, -1 miss, -2 terminated
-    nx, ny, nz, index, emis_r2 = hit.nx, hit.ny, hit.nz, hit.index, hit.emis_r2
+    carry = (
+        ox, oy, oz, dx, dy, dz,
+        jnp.ones(shape, f32), jnp.ones(shape, f32), jnp.ones(shape, f32),
+        jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+        hit.t,  # dist: tri-state sentinel (>=0 hit, -1 miss, -2 terminated)
+        hit.t,  # cur_t: geometric t of the current hit (never -2)
+        hit.nx, hit.ny, hit.nz, hit.index, hit.emis_r2,
+    )
+    use_cond = skip_empty and not getattr(sampler, "stateful", False)
 
-    for _ in range(cfg.max_bounces):
+    def bounce(carry):
+        (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b, col_r, col_g, col_b,
+         dist, cur_t, nx, ny, nz, index, emis_r2) = carry
         active = dist >= 0.0  # while (dist >= 0.0 && pathLength <= 1), glsl:280
         emissive = active & (index % cfg.emissive_every == 0)  # glsl:285
         diffuse = active & ~emissive
@@ -166,9 +178,9 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz):
         # the hemisphere around the (reference: unnormalized interpolated)
         # shading normal, multiply throughput by the procedural albedo.
         tangent, bitangent = frame_z(nx, ny, nz)
-        hx = ox + hit.t * dx
-        hy = oy + hit.t * dy
-        hz = oz + hit.t * dz
+        hx = ox + cur_t * dx
+        hy = oy + cur_t * dy
+        hz = oz + cur_t * dz
         u1, u2 = sampler.draw2(mask=diffuse)
         (lx, ly, lz), _ = cosine_sample_hemisphere(u1, u2)
         wdx, wdy, wdz = local_to_world(lx, ly, lz, tangent, bitangent,
@@ -200,17 +212,33 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz):
 
         # Cast the continuation ray from org + eps*dir (glsl:305). Lockstep:
         # computed for every lane, merged only into survivors.
+        if stats is not None:
+            # Physical ray-segment accounting for throughput metrics:
+            # survivors cast one more scene ray (the primary cast is always 1).
+            stats.setdefault("survive_fraction", []).append(
+                jnp.mean(survive.astype(f32)))
         new = intersect(ox + f32(cfg.ray_epsilon) * dx,
                         oy + f32(cfg.ray_epsilon) * dy,
                         oz + f32(cfg.ray_epsilon) * dz, dx, dy, dz)
         dist = jnp.where(survive, new.t, dist)
+        cur_t = jnp.where(survive, new.t, cur_t)
         nx = jnp.where(survive, new.nx, nx)
         ny = jnp.where(survive, new.ny, ny)
         nz = jnp.where(survive, new.nz, nz)
         index = jnp.where(survive, new.index, index)
         emis_r2 = jnp.where(survive, new.emis_r2, emis_r2)
-        hit = dataclasses.replace(
-            hit, t=jnp.where(survive, new.t, hit.t))
+        return (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
+                col_r, col_g, col_b, dist, cur_t, nx, ny, nz, index, emis_r2)
+
+    for _ in range(cfg.max_bounces):
+        if use_cond:
+            carry = jax.lax.cond(jnp.any(carry[12] >= 0.0), bounce,
+                                 lambda c: c, carry)
+        else:
+            carry = bounce(carry)
+
+    (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b, col_r, col_g, col_b,
+     dist, cur_t, nx, ny, nz, index, emis_r2) = carry
 
     # Environment (glsl:312-314): only lanes whose final cast missed
     # (dist == -1 exactly; -2 lanes were terminated) and that did not end on
@@ -218,10 +246,18 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz):
     # GLSL and here, so pure-miss lanes qualify, matching the reference.
     env_ok = (dist == f32(-1.0)) & (index % cfg.emissive_every != 0)
     if cfg.env_mode != "none":
-        le = env_radiance(cfg.env_mode, dx, dy, dz) * f32(cfg.env_scale)
-        col_r = jnp.where(env_ok, col_r + tp_r * le, col_r)
-        col_g = jnp.where(env_ok, col_g + tp_g * le, col_g)
-        col_b = jnp.where(env_ok, col_b + tp_b * le, col_b)
+        def add_env(cols):
+            col_r, col_g, col_b = cols
+            le = env_radiance(cfg.env_mode, dx, dy, dz) * f32(cfg.env_scale)
+            return (jnp.where(env_ok, col_r + tp_r * le, col_r),
+                    jnp.where(env_ok, col_g + tp_g * le, col_g),
+                    jnp.where(env_ok, col_b + tp_b * le, col_b))
+
+        if use_cond:
+            col_r, col_g, col_b = jax.lax.cond(
+                jnp.any(env_ok), add_env, lambda c: c, (col_r, col_g, col_b))
+        else:
+            col_r, col_g, col_b = add_env((col_r, col_g, col_b))
     return col_r, col_g, col_b
 
 
@@ -294,10 +330,11 @@ def aov_param_uv(intersect, ox, oy, oz, dx, dy, dz):
 
 
 def shade(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
-          miss_color=(0.0, 0.0, 0.0)):
+          miss_color=(0.0, 0.0, 0.0), skip_empty: bool = False):
     """Dispatch on cfg.aov (static)."""
     if cfg.aov == "pathtracing":
-        return trace_path(cfg, intersect, sampler, ox, oy, oz, dx, dy, dz)
+        return trace_path(cfg, intersect, sampler, ox, oy, oz, dx, dy, dz,
+                          skip_empty=skip_empty)
     if cfg.aov == "normal":
         return aov_normal(intersect, ox, oy, oz, dx, dy, dz, miss_color)
     if cfg.aov == "hit":

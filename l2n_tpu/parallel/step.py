@@ -1,0 +1,152 @@
+"""The sharded render step: shard_map over the ("tile", "sample") mesh.
+
+Sharding layout (the renderer's analog of a dp/sp-sharded training step):
+
+  accum   (n_sample, 4, Hp, Wp)  P("sample", None, "tile", None)
+  output  (3, Hp, Wp)            P(None, "tile", None)
+  camera / tile offset           replicated
+  tile schedules (n_tile, T, 2)  P("tile", None, None) — one shuffled
+                                 schedule per row slab
+
+Each device renders `tiles_per_step` tiles of its own slab per step (the
+reference's scheduler, applied per slab — src/main.cpp:830-852), with its
+sample-axis rank as an extra RNG stream key. The only collective is the
+`psum` folding sample-axis accumulations into the display estimate; slab
+rendering itself is communication-free, preserving the reference's
+independent-pixel design (SURVEY §5 "distributed communication backend").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from l2n_tpu.config import RenderConfig
+from l2n_tpu.render.state import FrameState
+from l2n_tpu.render.step import _xla_step, make_intersector
+from l2n_tpu.render.tiles import scheduled_pixel_mask, tile_grid
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedFrameState:
+    accum: jnp.ndarray        # (n_sample, 4, Hp, Wp)
+    output: jnp.ndarray       # (3, Hp, Wp)
+    tile_offset: jnp.ndarray  # () i32
+    iteration: jnp.ndarray    # () i32
+
+
+def slab_tile_grids(cfg: RenderConfig, n_tile: int) -> np.ndarray:
+    """(n_tile, T_local, 2) int32: an independently shuffled schedule per
+    row slab (slab-local tile coordinates)."""
+    if cfg.tile_count_y % n_tile != 0:
+        raise ValueError(
+            f"tile rows {cfg.tile_count_y} not divisible by tile axis {n_tile}")
+    rows_per = cfg.tile_count_y // n_tile
+    slab_cfg = cfg.replace(height=rows_per * cfg.tile_height)
+    grids = []
+    for s in range(n_tile):
+        grids.append(tile_grid(slab_cfg.replace(
+            tile_shuffle_seed=cfg.tile_shuffle_seed + s)))
+    return np.stack(grids).astype(np.int32)
+
+
+def init_sharded_state(cfg: RenderConfig, mesh: Mesh) -> ShardedFrameState:
+    if cfg.rng != "threefry":
+        raise NotImplementedError(
+            "sharded rendering supports the counter-based threefry sampler "
+            "(stateful parity modes are single-chip)")
+    n_sample = mesh.shape["sample"]
+    hp, wp = cfg.padded_height, cfg.padded_width
+    accum = jax.device_put(
+        jnp.zeros((n_sample, 4, hp, wp), jnp.float32),
+        NamedSharding(mesh, P("sample", None, "tile", None)))
+    output = jax.device_put(
+        jnp.zeros((3, hp, wp), jnp.float32),
+        NamedSharding(mesh, P(None, "tile", None)))
+    return ShardedFrameState(accum=accum, output=output,
+                             tile_offset=jnp.int32(0), iteration=jnp.int32(0))
+
+
+def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
+                       donate: bool = True):
+    """step(ShardedFrameState, packed_camera) -> ShardedFrameState, jitted
+    over the mesh."""
+    cfg.validate()
+    n_tile = mesh.shape["tile"]
+    intersect, miss_color = make_intersector(cfg, scene)
+    tile_grids = jnp.asarray(slab_tile_grids(cfg, n_tile))
+    k = cfg.effective_tiles_per_step
+    rows_per_slab = cfg.padded_height // n_tile
+
+    def body(tiles_l, accum_l, out_l, offset, iteration, camera):
+        # Local views: tiles_l (1, T, 2), accum_l (1, 4, hl, Wp),
+        # out_l (3, hl, Wp).
+        tile_rank = jax.lax.axis_index("tile")
+        sample_rank = jax.lax.axis_index("sample")
+        local = FrameState(accum=accum_l[0], output=out_l,
+                           tile_offset=offset, iteration=iteration,
+                           rng_state=None)
+        # Distinct RNG stream per (sample replica, slab): sampling is
+        # decorrelated everywhere without any cross-chip coordination.
+        stream = sample_rank * jnp.uint32(n_tile) + tile_rank.astype(jnp.uint32)
+        new = _xla_step(cfg, intersect, miss_color, tiles_l[0], local, camera,
+                        row_offset=tile_rank * rows_per_slab, stream=stream)
+        # Fold the sample axis (the one collective) and re-tonemap scheduled
+        # pixels so the display uses all n_sample estimates.
+        folded = jax.lax.psum(new.accum, "sample")
+        mask = scheduled_pixel_mask(cfg, tiles_l[0], offset, k,
+                                    height=rows_per_slab)
+        display = jnp.power(
+            jnp.maximum(folded[:3], 0.0)
+            / jnp.maximum(folded[3:4], jnp.float32(1e-20)),
+            jnp.float32(cfg.gamma))
+        out = jnp.where(mask[None], display, out_l)
+        return new.accum[None], out, new.tile_offset, new.iteration
+
+    shard = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("tile", None, None), P("sample", None, "tile", None),
+                  P(None, "tile", None), P(), P(), P()),
+        out_specs=(P("sample", None, "tile", None), P(None, "tile", None),
+                   P(), P()),
+        check_vma=False,
+    )
+
+    def step(state: ShardedFrameState, camera) -> ShardedFrameState:
+        accum, output, offset, iteration = shard(
+            tile_grids, state.accum, state.output, state.tile_offset,
+            state.iteration, jnp.asarray(camera, jnp.float32))
+        return ShardedFrameState(accum=accum, output=output,
+                                 tile_offset=offset, iteration=iteration)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+class ShardedRenderer:
+    """Host-side driver for multi-chip progressive rendering."""
+
+    def __init__(self, cfg: RenderConfig, scene, mesh: Mesh):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.step_fn = build_sharded_step(cfg, scene, mesh)
+        self.state = init_sharded_state(cfg, mesh)
+
+    def step(self, camera) -> ShardedFrameState:
+        self.state = self.step_fn(self.state, camera.packed())
+        return self.state
+
+    def clear(self) -> None:
+        self.state = dataclasses.replace(
+            self.state, accum=jnp.zeros_like(self.state.accum))
+
+    def display(self) -> np.ndarray:
+        """Gather the sharded display planes to the host — the multi-chip
+        framebuffer blit (DCN/ICI gather instead of glBlitFramebuffer)."""
+        img = np.asarray(self.state.output[:, :self.cfg.height, :self.cfg.width])
+        return np.moveaxis(img, 0, -1)

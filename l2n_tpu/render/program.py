@@ -25,7 +25,9 @@ class PathtracingProgram:
     def __init__(self, cfg: RenderConfig, scene, backend: str = "auto"):
         if backend == "auto":
             import jax
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            from l2n_tpu.ops.kernels import KERNELS
+            backend = ("pallas" if jax.default_backend() == "tpu"
+                       and cfg.scene_kind in KERNELS else "xla")
         self.cfg = cfg.validate()
         self.scene = scene
         self.backend = backend

@@ -27,6 +27,7 @@ class Renderer:
         self.current = current or next(iter(programs))
         self.state: FrameState = init_frame_state(self.program.cfg)
         self._step_times: list[float] = []
+        self._warm: set[str] = set()
 
     @property
     def program(self) -> PathtracingProgram:
@@ -53,15 +54,22 @@ class Renderer:
         self.state = self.program.step(self.state, camera.packed())
         if block:
             self.state.output.block_until_ready()
-        self._step_times.append(time.perf_counter() - t0)
+        if self.current in self._warm:
+            self._step_times.append(time.perf_counter() - t0)
+        else:
+            # First call of a program pays XLA/Mosaic compilation — keep it
+            # out of the rolling throughput stats.
+            self._warm.add(self.current)
         if len(self._step_times) > 240:
             del self._step_times[:120]
         return self.state
 
     def display(self) -> np.ndarray:
-        """(H, W, 3) float32 tonemapped image, host-side. The only per-frame
-        readback, like the reference's framebuffer blit (main.cpp:959-965)."""
-        return np.asarray(self.state.output)
+        """(H, W, 3) float32 tonemapped image, host-side and cropped to the
+        visible area. The only per-frame readback, like the reference's
+        framebuffer blit (main.cpp:959-965)."""
+        from l2n_tpu.render.state import display_image
+        return display_image(self.cfg, self.state)
 
     # -- metrics (the ImGui ms/frame readout analog, main.cpp:973) ----------
     def metrics(self) -> dict[str, float]:

@@ -29,7 +29,6 @@ from l2n_tpu.ops.pathtrace import generate_rays, shade
 from l2n_tpu.ops.scenes import sphere_intersector, triangle_intersector
 from l2n_tpu.render.state import FrameState
 from l2n_tpu.render.tiles import advance_offset, scheduled_pixel_mask, tile_grid
-from l2n_tpu.rng import tinymt
 from l2n_tpu.rng.sampler import (
     MaskedSampler,
     TausLCGSampler,
@@ -42,16 +41,17 @@ from l2n_tpu.scene.tessellate import TriangleScene
 
 
 def make_sampler(cfg: RenderConfig, state: FrameState, pixel_index,
-                 sample_index, lane_mask):
-    """Per-step sampler from config + frame state (see rng.sampler)."""
+                 sample_index, lane_mask, stream=0):
+    """Per-step sampler from config + frame state (see rng.sampler).
+    `stream` decorrelates sample-axis replicas under multi-chip sharding."""
     if cfg.rng == "threefry":
-        inner = ThreefrySampler(cfg.seed, 0, pixel_index, sample_index,
+        inner = ThreefrySampler(cfg.seed, stream, pixel_index, sample_index,
                                 max_pairs_per_sample(cfg.max_bounces))
     elif cfg.rng == "tinymt":
-        status, params = tinymt.unpack(state.rng_state)
-        inner = TinyMTSampler(status, params)
+        words = tuple(state.rng_state[i] for i in range(7))
+        inner = TinyMTSampler(words[:4], words[4:7])
     elif cfg.rng == "tauslcg":
-        inner = TausLCGSampler(tuple(state.rng_state[..., i] for i in range(4)))
+        inner = TausLCGSampler(tuple(state.rng_state[i] for i in range(4)))
     else:  # pragma: no cover
         raise ValueError(cfg.rng)
     return MaskedSampler(inner, lane_mask)
@@ -65,26 +65,32 @@ def merge_rng_state(cfg: RenderConfig, state: FrameState, sampler,
         return state.rng_state
     final = sampler.final_state()
     if cfg.rng == "tinymt":
-        _, params = tinymt.unpack(state.rng_state)
-        new = tinymt.pack(final, params)
+        new = jnp.stack(final + tuple(state.rng_state[4:]), axis=0)
     else:
-        new = jnp.stack(final, axis=-1)
-    return jnp.where(lane_mask[..., None], new, state.rng_state)
+        new = jnp.stack(final, axis=0)
+    return jnp.where(lane_mask[None], new, state.rng_state)
 
 
 def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
-              state: FrameState, camera: jnp.ndarray) -> FrameState:
-    h, w = cfg.height, cfg.width
+              state: FrameState, camera: jnp.ndarray,
+              row_offset=0, stream=0) -> FrameState:
+    """One full-frame oracle step. `row_offset`/`stream` support multi-chip
+    slab sharding: the state covers rows [row_offset, row_offset + h) of the
+    global framebuffer and `stream` keys this device's sample-axis replica."""
+    h, w = state.accum.shape[1], cfg.padded_width
     k = cfg.effective_tiles_per_step
-    mask = scheduled_pixel_mask(cfg, tile_array, state.tile_offset, k)
+    mask = scheduled_pixel_mask(cfg, tile_array, state.tile_offset, k,
+                                height=h)
 
-    py, px = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+    py, px = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32) + row_offset,
                           jnp.arange(w, dtype=jnp.int32), indexing="ij")
-    # pixelIndex = x + y * width (sphere_pathtracing.cs.glsl:365).
+    # pixelIndex = x + y * width (sphere_pathtracing.cs.glsl:365), over the
+    # padded global grid so all backends/shardings key RNG identically.
     pixel_index = (px + py * jnp.int32(w)).astype(jnp.uint32)
-    sample_index = state.accum[..., 3].astype(jnp.uint32)
+    sample_index = state.accum[3].astype(jnp.int32).astype(jnp.uint32)
 
-    sampler = make_sampler(cfg, state, pixel_index, sample_index, mask)
+    sampler = make_sampler(cfg, state, pixel_index, sample_index, mask,
+                           stream=stream)
     u1, u2 = sampler.draw2()  # pixel jitter (glsl:371)
     rays = generate_rays(cfg, camera, px.astype(jnp.float32),
                          py.astype(jnp.float32), u1, u2)
@@ -92,21 +98,35 @@ def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
 
     # newEstimate = current + (color, 1); display = pow(rgb/n, gamma)
     # (glsl:391-395), merged only for scheduled pixels.
-    rgb1 = jnp.stack([r, g, b, jnp.ones_like(r)], axis=-1)
-    accum = jnp.where(mask[..., None], state.accum + rgb1, state.accum)
+    rgb1 = jnp.stack([r, g, b, jnp.ones_like(r)], axis=0)
+    accum = jnp.where(mask[None], state.accum + rgb1, state.accum)
     display = jnp.power(
-        jnp.maximum(accum[..., :3], 0.0)
-        / jnp.maximum(accum[..., 3:4], jnp.float32(1e-20)),
+        jnp.maximum(accum[:3], 0.0)
+        / jnp.maximum(accum[3:4], jnp.float32(1e-20)),
         jnp.float32(cfg.gamma))
-    output = jnp.where(mask[..., None], display, state.output)
+    output = jnp.where(mask[None], display, state.output)
 
     return FrameState(
         accum=accum,
         output=output,
-        tile_offset=advance_offset(cfg, state.tile_offset),
+        tile_offset=(state.tile_offset + jnp.int32(k))
+        % jnp.int32(tile_array.shape[0]),
         iteration=state.iteration + 1,
         rng_state=merge_rng_state(cfg, state, sampler, mask),
     )
+
+
+def make_intersector(cfg: RenderConfig, scene):
+    """(intersect closure, AOV miss color) for a scene pytree."""
+    if cfg.scene_kind == "sphere":
+        if not isinstance(scene, SphereScene):
+            raise TypeError("sphere config needs a SphereScene")
+        # sphere normal AOV misses to black (glsl:350)
+        return sphere_intersector(scene), (0.0, 0.0, 0.0)
+    if not isinstance(scene, TriangleScene):
+        raise TypeError("triangle config needs a TriangleScene")
+    # triangle AOVs miss to magenta (triangle_pathtracing.cs.glsl:340)
+    return triangle_intersector(scene.soup()), (1.0, 0.0, 1.0)
 
 
 def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
@@ -119,17 +139,7 @@ def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
     """
     cfg.validate()
     tile_array = jnp.asarray(tile_grid(cfg))
-
-    if cfg.scene_kind == "sphere":
-        if not isinstance(scene, SphereScene):
-            raise TypeError("sphere config needs a SphereScene")
-        intersect = sphere_intersector(scene)
-        miss_color = (0.0, 0.0, 0.0)   # sphere normal AOV misses to black
-    else:
-        if not isinstance(scene, TriangleScene):
-            raise TypeError("triangle config needs a TriangleScene")
-        intersect = triangle_intersector(scene.soup())
-        miss_color = (1.0, 0.0, 1.0)   # triangle AOVs miss to magenta
+    intersect, miss_color = make_intersector(cfg, scene)
 
     if backend == "xla":
         fn = partial(_xla_step, cfg, intersect, miss_color, tile_array)

@@ -36,19 +36,23 @@ def scheduled_tiles(tile_array: jnp.ndarray, offset: jnp.ndarray,
 
 
 def scheduled_pixel_mask(cfg, tile_array: jnp.ndarray,
-                         offset: jnp.ndarray, count: int) -> jnp.ndarray:
+                         offset: jnp.ndarray, count: int,
+                         height: int | None = None) -> jnp.ndarray:
     """(H, W) bool — True for pixels of tiles scheduled this step.
 
     Used by the full-frame XLA oracle backend, which computes every pixel
     and merges only scheduled ones (the Pallas backend instead touches only
-    scheduled tiles via scalar-prefetch indexing).
+    scheduled tiles via scalar-prefetch indexing). `height` overrides the
+    covered row count for slab-sharded use (tile_array then holds
+    slab-local tile coordinates).
     """
     t = tile_array.shape[0]
     sched = scheduled_tiles(tile_array, offset, count)
     tile_ids = sched[:, 1] * jnp.int32(cfg.tile_count_x) + sched[:, 0]
-    flags = jnp.zeros((t,), jnp.bool_).at[tile_ids].set(True)
-    py, px = jnp.meshgrid(jnp.arange(cfg.height, dtype=jnp.int32),
-                          jnp.arange(cfg.width, dtype=jnp.int32),
+    flags = jnp.zeros((max(t, 1),), jnp.bool_).at[tile_ids].set(True)
+    py, px = jnp.meshgrid(jnp.arange(height or cfg.padded_height,
+                                     dtype=jnp.int32),
+                          jnp.arange(cfg.padded_width, dtype=jnp.int32),
                           indexing="ij")
     pixel_tile = ((py // jnp.int32(cfg.tile_height)) * jnp.int32(cfg.tile_count_x)
                   + px // jnp.int32(cfg.tile_width))

@@ -1,0 +1,56 @@
+"""Render-session checkpointing.
+
+The reference persists exactly one thing across runs — the camera pose in
+`l2n_cache.json` (src/main.cpp:794-816,1004-1012) — and keeps the in-session
+render state (accum texture + RNG states + tile offset) resumable only
+within a run (SURVEY §5 checkpoint/resume). Here both tiers exist:
+
+  * the camera JSON cache (l2n_tpu.camera.cache), file-compatible;
+  * full session checkpoints: one NPZ holding the FrameState planes plus
+    config and camera, so a progressive render resumes bit-exactly across
+    process restarts (counter-based RNG makes this trivial — the "RNG
+    state" is the per-pixel sample count already in accum[3]).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from l2n_tpu.config import RenderConfig
+from l2n_tpu.render.state import FrameState
+
+
+def save_session(path: str | Path, cfg: RenderConfig, state: FrameState,
+                 view_matrix: np.ndarray) -> Path:
+    path = Path(path)
+    arrays = {
+        "accum": np.asarray(state.accum),
+        "output": np.asarray(state.output),
+        "tile_offset": np.asarray(state.tile_offset),
+        "iteration": np.asarray(state.iteration),
+        "view_matrix": np.asarray(view_matrix, np.float32),
+    }
+    if state.rng_state is not None:
+        arrays["rng_state"] = np.asarray(state.rng_state)
+    np.savez_compressed(path, config=np.frombuffer(
+        cfg.to_json().encode(), dtype=np.uint8), **arrays)
+    return path
+
+
+def load_session(path: str | Path) -> tuple[RenderConfig, FrameState, np.ndarray]:
+    with np.load(Path(path)) as data:
+        cfg = RenderConfig.from_json(bytes(data["config"]).decode())
+        state = FrameState(
+            accum=jnp.asarray(data["accum"]),
+            output=jnp.asarray(data["output"]),
+            tile_offset=jnp.int32(data["tile_offset"]),
+            iteration=jnp.int32(data["iteration"]),
+            rng_state=(jnp.asarray(data["rng_state"])
+                       if "rng_state" in data else None),
+        )
+        view = data["view_matrix"]
+    return cfg, state, view

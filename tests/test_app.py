@@ -1,0 +1,106 @@
+"""Application layer + checkpoint/session + image IO tests."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from l2n_tpu.app import Application, PngSequenceDisplay
+from l2n_tpu.camera import ControllerInput
+from l2n_tpu.config import RenderConfig
+from l2n_tpu.utils.checkpoint import load_session, save_session
+from l2n_tpu.utils.image import tonemap_to_u8, write_png
+
+CFG = RenderConfig(width=128, height=64, tile_width=128, tile_height=32,
+                   sphere_count=8, tiles_per_step=1).validate()
+
+
+def make_app(tmp_path, cfg=CFG):
+    return Application(cfg, workdir=tmp_path, backend="xla",
+                       renderer_names=("spherePT",))
+
+
+class TestApplication:
+    def test_run_headless(self, tmp_path):
+        app = make_app(tmp_path)
+        disp = PngSequenceDisplay(tmp_path / "frames", every=2)
+        state = app.run(4, display=disp)
+        assert int(state.iteration) == 4
+        assert len(list((tmp_path / "frames").glob("*.png"))) == 2
+        # Camera cache written on exit (main.cpp:1004-1012).
+        assert (tmp_path / "l2n_cache.json").exists()
+
+    def test_camera_cache_roundtrip_across_apps(self, tmp_path):
+        app = make_app(tmp_path)
+        moves = {0: ControllerInput(forward=True)}
+        app.run(2, input_source=lambda f: moves.get(f))
+        pose = app.controller.view_matrix.copy()
+        app2 = make_app(tmp_path)
+        np.testing.assert_allclose(app2.controller.view_matrix, pose, atol=1e-6)
+
+    def test_camera_move_clears_accum(self, tmp_path):
+        app = make_app(tmp_path)
+        app.run(1, input_source=lambda f: ControllerInput(forward=True),
+                save_camera=False)
+        # The clear happens after the step: accumulation was reset.
+        assert np.asarray(app.renderer.state.accum).sum() == 0
+
+    def test_renderer_switch(self, tmp_path):
+        cfg = CFG.replace(disc_lat=8, disc_long=4)
+        app = Application(cfg, workdir=tmp_path, backend="xla")
+        app.run(1, save_camera=False)
+        app.switch_renderer("trianglePT")
+        assert np.asarray(app.renderer.state.accum).sum() == 0
+        app.run(1, save_camera=False)
+        assert np.asarray(app.renderer.state.accum[3]).sum() > 0
+
+
+class TestSessionCheckpoint:
+    def test_roundtrip_resumes_bit_exact(self, tmp_path):
+        app = make_app(tmp_path)
+        app.run(3, save_camera=False)
+        path = app.save_session(tmp_path / "session.npz")
+
+        resumed = make_app(tmp_path)
+        resumed.load_session(path)
+        cont_a = resumed.run(2, save_camera=False)
+
+        ref = make_app(tmp_path)
+        cont_b = ref.run(5, save_camera=False)
+        np.testing.assert_array_equal(np.asarray(cont_a.accum),
+                                      np.asarray(cont_b.accum))
+
+    def test_config_mismatch_rejected(self, tmp_path):
+        app = make_app(tmp_path)
+        path = save_session(tmp_path / "s.npz", app.cfg, app.renderer.state,
+                            app.controller.view_matrix)
+        other = make_app(tmp_path, CFG.replace(seed=99))
+        with pytest.raises(ValueError):
+            other.load_session(path)
+
+    def test_tinymt_state_checkpointed(self, tmp_path):
+        cfg = CFG.replace(rng="tinymt")
+        app = make_app(tmp_path, cfg)
+        app.run(1, save_camera=False)
+        path = app.save_session(tmp_path / "s.npz")
+        _, state, _ = load_session(path)
+        assert state.rng_state is not None
+        np.testing.assert_array_equal(np.asarray(state.rng_state),
+                                      np.asarray(app.renderer.state.rng_state))
+
+
+class TestImageIO:
+    def test_png_valid(self, tmp_path):
+        img = np.random.rand(16, 32, 3).astype(np.float32)
+        path = write_png(tmp_path / "t.png", img)
+        data = path.read_bytes()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        # decode and compare
+        import struct
+        w, h = struct.unpack(">II", data[16:24])
+        assert (w, h) == (32, 16)
+
+    def test_tonemap_clips(self):
+        x = np.array([[[-1.0, 0.5, 2.0]]], np.float32)
+        u = tonemap_to_u8(x)
+        assert u.tolist() == [[[0, 128, 255]]]

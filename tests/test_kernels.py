@@ -1,0 +1,100 @@
+"""Pallas kernel tier tests.
+
+On CPU these run through the Pallas interpreter (`interpret=True`), which
+validates kernel logic, block indexing and aliasing; compiled-mode parity is
+additionally exercised on real TPU by `bench.py` and the parity scripts.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from l2n_tpu.camera import Camera
+from l2n_tpu.config import RenderConfig
+from l2n_tpu.ops.kernels.uv_demo import uv_demo
+from l2n_tpu.render.program import SphereProgram
+from l2n_tpu.render.state import init_frame_state
+
+CFG = RenderConfig(width=256, height=64, tile_width=128, tile_height=32,
+                   sphere_count=32, tiles_per_step=2).validate()
+
+
+def run_steps(backend, cfg=CFG, n=2):
+    prog = SphereProgram(cfg, backend=backend)
+    cam = Camera.from_config(prog.cfg).packed()
+    st = init_frame_state(prog.cfg)
+    for _ in range(n):
+        st = prog.step(st, cam)
+    return st
+
+
+class TestSphereKernelParity:
+    def test_matches_xla_oracle(self):
+        """The fused kernel must match the full-frame oracle (dual
+        implementation as oracle, SURVEY §4). On CPU interpret-mode both
+        paths use identical float ops, so tolerance is tight."""
+        so = run_steps("xla")
+        sp = run_steps("pallas")
+        np.testing.assert_array_equal(np.asarray(so.accum[3]),
+                                      np.asarray(sp.accum[3]))
+        a, b = np.asarray(so.accum), np.asarray(sp.accum)
+        rmse = np.sqrt(((a - b) ** 2).mean())
+        assert rmse < 1e-3, f"kernel/oracle RMSE {rmse}"
+        # Isolated pixels may diverge where fp-op ordering flips a Russian-
+        # roulette or hit/miss decision (SURVEY §7 hard part (b): parity is
+        # statistical, not bitwise). Bound the fraction, not the max.
+        diff = np.abs(np.asarray(so.output) - np.asarray(sp.output))
+        assert (diff > 1e-3).mean() < 1e-3, f"{(diff > 1e-3).mean()} of pixels diverge"
+
+    def test_untouched_tiles_preserved(self):
+        """Aliased blocks outside the schedule must keep their contents —
+        the progressive invariant (one owner per pixel per step)."""
+        sp = run_steps("pallas", n=1)
+        counts = np.asarray(sp.accum[3])
+        assert counts.sum() == 2 * 32 * 128
+        untouched = counts == 0
+        assert np.asarray(sp.output)[:, untouched].max() == 0.0
+
+    def test_offset_advances(self):
+        sp = run_steps("pallas", n=3)
+        assert int(sp.iteration) == 3
+        assert int(sp.tile_offset) == 6 % CFG.tile_count
+
+    def test_tinymt_kernel_matches_tinymt_oracle(self):
+        """Stateful RNG plumbing through the kernel (aliased u32 planes)."""
+        cfg = CFG.replace(rng="tinymt", skip_empty_tiles=False)
+        so = run_steps("xla", cfg)
+        sp = run_steps("pallas", cfg)
+        np.testing.assert_array_equal(np.asarray(so.rng_state),
+                                      np.asarray(sp.rng_state))
+        a, b = np.asarray(so.accum), np.asarray(sp.accum)
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-3
+
+    def test_skip_empty_matches_no_skip(self):
+        """The dead-tile cond is a pure optimization — same math, though
+        wrapping in lax.cond changes fusion, so isolated RR-boundary lanes
+        may flip (statistical parity, SURVEY §7(b))."""
+        a = run_steps("pallas", CFG.replace(skip_empty_tiles=True))
+        b = run_steps("pallas", CFG.replace(skip_empty_tiles=False))
+        diff = np.abs(np.asarray(a.accum) - np.asarray(b.accum))
+        assert (diff > 1e-6).mean() < 1e-3
+        np.testing.assert_array_equal(np.asarray(a.accum[3]),
+                                      np.asarray(b.accum[3]))
+
+    def test_normal_aov_kernel(self):
+        cfg = CFG.replace(aov="normal")
+        so = run_steps("xla", cfg)
+        sp = run_steps("pallas", cfg)
+        np.testing.assert_allclose(np.asarray(so.accum), np.asarray(sp.accum),
+                                   atol=1e-5)
+
+
+class TestUVDemo:
+    def test_pattern(self):
+        img = np.asarray(uv_demo(32, 128, 0.0))
+        assert img.shape == (3, 32, 128)
+        # t=0: r = 1.0 * u, g = 0.5 * v, b = 0 (uv.cs.glsl:12-20).
+        np.testing.assert_allclose(img[0, 0], np.arange(128) / 128, atol=1e-6)
+        np.testing.assert_allclose(img[1, :, 0], 0.5 * np.arange(32) / 32,
+                                   atol=1e-6)
+        assert img[2].max() == 0.0

@@ -1,0 +1,116 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (SURVEY §4:
+CPU mesh emulation; conftest forces xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from l2n_tpu.camera import Camera
+from l2n_tpu.config import RenderConfig
+from l2n_tpu.parallel import (
+    ShardedRenderer,
+    make_device_mesh,
+    mesh_factors,
+)
+from l2n_tpu.parallel.step import slab_tile_grids
+from l2n_tpu.scene import compute_spheres
+
+CFG = RenderConfig(width=256, height=128, tile_width=128, tile_height=32,
+                   sphere_count=16, tiles_per_step=1).validate()
+
+
+def make_renderer(n_tile, n_sample, cfg=CFG):
+    mesh = make_device_mesh(n_tile, n_sample)
+    scene = compute_spheres(cfg.sphere_count, cfg.world_size, cfg.scene_seed)
+    return ShardedRenderer(cfg, scene, mesh)
+
+
+class TestMesh:
+    def test_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_factors(self):
+        assert mesh_factors(8, CFG) == (4, 2)
+        assert mesh_factors(1, CFG) == (1, 1)
+
+    def test_mesh_shape(self):
+        mesh = make_device_mesh(4, 2)
+        assert mesh.shape == {"tile": 4, "sample": 2}
+
+
+class TestSlabSchedules:
+    def test_shapes_and_coverage(self):
+        grids = slab_tile_grids(CFG, 4)  # 4 slabs of 1 tile-row each
+        assert grids.shape == (4, 2, 2)
+        for s in range(4):
+            ids = sorted(grids[s, :, 1] * CFG.tile_count_x + grids[s, :, 0])
+            assert ids == [0, 1]
+
+    def test_indivisible_raises(self):
+        with pytest.raises(ValueError):
+            slab_tile_grids(CFG, 3)
+
+
+class TestShardedStep:
+    def test_runs_and_accumulates(self):
+        r = make_renderer(4, 2)
+        cam = Camera.from_config(CFG)
+        r.step(cam)
+        counts = np.asarray(r.state.accum)[:, 3]
+        # Each of 2 sample replicas rendered 1 tile per each of 4 slabs.
+        assert counts.sum() == 2 * 4 * 32 * 128
+        assert int(r.state.iteration) == 1
+
+    def test_matches_single_device_sum(self):
+        """Sample-axis psum display == tonemapped mean over all replicas."""
+        r = make_renderer(2, 2)
+        cam = Camera.from_config(CFG)
+        for _ in range(2):
+            r.step(cam)
+        accum = np.asarray(r.state.accum)
+        folded = accum.sum(axis=0)
+        touched = folded[3] > 0
+        expect = np.power(np.maximum(folded[:3][:, touched], 0)
+                          / folded[3][touched], 0.45)
+        got = np.asarray(r.state.output)[:, touched]
+        np.testing.assert_allclose(got, expect, atol=1e-5)
+
+    def test_tile_sharding_decorrelated_streams(self):
+        """Different slabs and sample replicas draw different randoms."""
+        r = make_renderer(4, 2)
+        cam = Camera.from_config(CFG)
+        for _ in range(CFG.tile_count):  # full coverage cycles
+            r.step(cam)
+        accum = np.asarray(r.state.accum)
+        # Sample replicas rendered the same pixels with different streams:
+        a, b = accum[0, :3], accum[1, :3]
+        assert (accum[:, 3] > 0).all()
+        assert not np.allclose(a, b)
+
+    def test_display_gathers_full_image(self):
+        r = make_renderer(4, 2)
+        cam = Camera.from_config(CFG)
+        for _ in range(CFG.tile_count):
+            r.step(cam)
+        img = r.display()
+        assert img.shape == (128, 256, 3)
+        assert np.isfinite(img).all()
+        assert img.max() > 0
+
+    def test_clear(self):
+        r = make_renderer(4, 2)
+        r.step(Camera.from_config(CFG))
+        r.clear()
+        assert np.asarray(r.state.accum).sum() == 0
+
+    def test_tile_only_mesh(self):
+        r = make_renderer(4, 1)
+        r.step(Camera.from_config(CFG))
+        assert np.asarray(r.state.accum)[:, 3].sum() == 4 * 32 * 128
+
+    def test_eight_way_tile_mesh(self):
+        cfg = CFG.replace(height=256)  # 8 tile rows
+        r = make_renderer(8, 1, cfg)
+        r.step(Camera.from_config(cfg))
+        assert np.asarray(r.state.accum)[:, 3].sum() == 8 * 32 * 128

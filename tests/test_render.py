@@ -63,13 +63,13 @@ class TestTiles:
 class TestFrameState:
     def test_init_shapes(self):
         st = init_frame_state(CFG)
-        assert st.accum.shape == (64, 128, 4)
-        assert st.output.shape == (64, 128, 3)
+        assert st.accum.shape == (4, 64, 128)
+        assert st.output.shape == (3, 64, 128)
         assert st.rng_state is None  # threefry
 
     def test_tinymt_state_allocated(self):
         st = init_frame_state(CFG.replace(rng="tinymt"))
-        assert st.rng_state.shape == (64, 128, 8)
+        assert st.rng_state.shape == (8, 64, 128)
         assert st.rng_state.dtype == jnp.uint32
 
     def test_clear_keeps_output_and_offset(self):
@@ -92,7 +92,7 @@ class TestRenderStep:
         r = self.make()
         cam = Camera.from_config(r.cfg)
         r.step(cam)
-        counts = np.asarray(r.state.accum[..., 3])
+        counts = np.asarray(r.state.accum[3])
         assert counts.sum() == 2 * 32 * 64
         assert set(np.unique(counts)) == {0.0, 1.0}
 
@@ -101,7 +101,7 @@ class TestRenderStep:
         cam = Camera.from_config(r.cfg)
         for _ in range(r.cfg.tile_count // 2):
             r.step(cam)
-        counts = np.asarray(r.state.accum[..., 3])
+        counts = np.asarray(r.state.accum[3])
         assert (counts == 1.0).all()
         assert int(r.state.tile_offset) == 0
         assert int(r.state.iteration) == r.cfg.tile_count // 2
@@ -125,10 +125,10 @@ class TestRenderStep:
         early = np.asarray(r.state.output)
         for _ in range(15):
             r.step(cam)
-        mid = np.asarray(r.state.accum[..., :3] / r.state.accum[..., 3:])
+        mid = np.asarray(r.state.accum[:3] / r.state.accum[3:])
         for _ in range(16):
             r.step(cam)
-        late = np.asarray(r.state.accum[..., :3] / r.state.accum[..., 3:])
+        late = np.asarray(r.state.accum[:3] / r.state.accum[3:])
         # successive mean images move less and less
         d1 = np.abs(mid - early).mean()
         d2 = np.abs(late - mid).mean()
@@ -141,11 +141,11 @@ class TestRenderStep:
         r = Renderer(progs)
         cam = Camera.from_config(r.cfg)
         r.step(cam)
-        assert np.asarray(r.state.accum[..., 3]).sum() > 0
+        assert np.asarray(r.state.accum[3]).sum() > 0
         r.switch("trianglePT")
-        assert np.asarray(r.state.accum[..., 3]).sum() == 0
+        assert np.asarray(r.state.accum[3]).sum() == 0
         r.step(cam)  # triangle program renders fine
-        assert np.asarray(r.state.accum[..., 3]).sum() > 0
+        assert np.asarray(r.state.accum[3]).sum() > 0
 
     def test_camera_move_clears(self):
         r = self.make()
@@ -161,30 +161,32 @@ class TestRenderStep:
         before = np.asarray(r.state.rng_state)
         r.step(cam)
         after = np.asarray(r.state.rng_state)
-        mask = np.asarray(r.state.accum[..., 3]) > 0
-        assert (before[mask] != after[mask]).any()
-        np.testing.assert_array_equal(before[~mask], after[~mask])
+        mask = np.asarray(r.state.accum[3]) > 0
+        assert (before[:, mask] != after[:, mask]).any()
+        np.testing.assert_array_equal(before[:, ~mask], after[:, ~mask])
 
     def test_tauslcg_backend_runs(self):
         cfg = CFG.replace(rng="tauslcg", sphere_count=8)
         r = self.make(cfg)
         cam = Camera.from_config(r.cfg)
         r.step(cam)
-        assert np.asarray(r.state.accum[..., 3]).sum() > 0
+        assert np.asarray(r.state.accum[3]).sum() > 0
 
     def test_output_is_tonemapped_mean(self):
         r = self.make()
         cam = Camera.from_config(r.cfg)
         r.step(cam)
         st = r.state
-        mask = np.asarray(st.accum[..., 3]) > 0
-        mean = np.asarray(st.accum[..., :3])[mask] / 1.0
-        np.testing.assert_allclose(np.asarray(st.output)[mask],
+        mask = np.asarray(st.accum[3]) > 0
+        mean = np.asarray(st.accum[:3])[:, mask] / 1.0
+        np.testing.assert_allclose(np.asarray(st.output)[:, mask],
                                    np.power(np.maximum(mean, 0), 0.45),
                                    atol=1e-5)
 
     def test_metrics_shape(self):
         r = self.make()
-        r.step(Camera.from_config(r.cfg), block=True)
+        cam = Camera.from_config(r.cfg)
+        r.step(cam, block=True)  # warm-up/compile step — excluded from stats
+        r.step(cam, block=True)
         m = r.metrics()
-        assert m["iteration"] == 1 and m["samples_per_sec"] > 0
+        assert m["iteration"] == 2 and m["samples_per_sec"] > 0
