@@ -1,14 +1,284 @@
-"""Fused triangle path-tracing kernel (Möller-Trumbore over the mesh soup).
+"""Fused triangle path-tracing kernel (two-level: mesh bounds -> triangles).
 
 TPU-native rebuild of /root/reference/src/shaders/triangle_pathtracing.cs.glsl.
-Placeholder module for the Pallas implementation — the triangle scene
-currently renders through the XLA backend (`l2n_tpu.render.step`), which is
-the same brute-force sweep the reference runs (128 meshes x 256 triangles
-per ray, triangle_pathtracing.cs.glsl:164-175).
+The reference brute-forces 128 meshes x 256 triangles per ray (glsl:164-175).
+A lockstep TPU sweep of all 32k triangles per bounce would be pure VPU burn,
+so this kernel adds the acceleration structure the scene begs for (and the
+reference lacks — beating it is the point):
 
-Planned kernel design (pairwise sweep): pixels ride the sublanes, triangles
-the lanes — for each pixel column (32, 1) and 128-triangle chunk (1, 128)
-the kernel evaluates all (32, 128) ray/triangle pairs with pure vector ops
-(no per-triangle scalar loads), tracking the running nearest hit and its
-interpolated attributes with lane-wise selects.
+  1. every mesh gets an exact bounding sphere (the meshes ARE tessellated
+     spheres; bounds are computed from the vertices, so any triangle scene
+     works). A cheap sphere sweep per mesh (the sphere kernel's math) finds
+     whether ANY lane of the tile could hit the mesh closer than its current
+     best — an exact-conservative test;
+  2. only surviving meshes stream their triangle block from HBM into SMEM
+     with an async DMA (the TPU analog of the reference's bindless pointer
+     chase, triangle_pathtracing.cs.glsl:34-36) and run the Möller-Trumbore
+     sweep with per-candidate attribute interpolation (glsl:111-154,186-187).
+
+Sky tiles touch zero triangles; typical tiles a handful of meshes.
 """
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from l2n_tpu.ops.kernels import register_kernel
+from l2n_tpu.ops.kernels.common import (
+    accumulate_and_tonemap,
+    interpret_mode,
+    make_kernel_sampler,
+    tile_pixel_coords,
+)
+from l2n_tpu.ops.pathtrace import Hit, generate_rays, shade
+from l2n_tpu.render.state import FrameState
+from l2n_tpu.render.tiles import advance_offset, scheduled_tiles
+from l2n_tpu.scene.tessellate import TriangleScene
+
+# Rows of the per-mesh triangle block (see pack_mesh_blocks).
+_ROWS = 21  # v1(3) e1(3) e2(3) na(3) nb(3) nc(3) ta(2) tb(2) tc(2) -> 24? see below
+
+# Row indices.
+_V1, _E1, _E2, _NA, _NB, _NC = 0, 3, 6, 9, 12, 15
+_TA, _TB, _TC = 18, 20, 22
+_N_ROWS = 24
+
+
+def pack_mesh_blocks(scene: TriangleScene) -> tuple[np.ndarray, np.ndarray]:
+    """Pack the soup into per-mesh blocks + bounding spheres.
+
+    Returns (blocks (M, 24, Tpad) f32, bounds (M, 4) f32 [cx cy cz r^2]).
+    Padding triangles are all-zero (degenerate -> det = 0 -> rejected).
+    """
+    soup = {k: np.asarray(v) for k, v in scene.soup().items()}
+    mesh_id = soup["mesh_id"]
+    m_count = int(scene.mesh_count)
+    counts = np.bincount(mesh_id, minlength=m_count)
+    tpad = max(128, int(-(-counts.max() // 128) * 128))
+
+    rows = [
+        "v1x", "v1y", "v1z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
+        "nax", "nay", "naz", "nbx", "nby", "nbz", "ncx", "ncy", "ncz",
+        "tau", "tav", "tbu", "tbv", "tcu", "tcv",
+    ]
+    assert len(rows) == _N_ROWS
+    blocks = np.zeros((m_count, _N_ROWS, tpad), np.float32)
+    bounds = np.zeros((m_count, 4), np.float32)
+    for m in range(m_count):
+        sel = mesh_id == m
+        n = int(sel.sum())
+        for r, key in enumerate(rows):
+            blocks[m, r, :n] = soup[key][sel]
+        # Exact-conservative bound: min/max box of all triangle corners.
+        v1 = np.stack([soup[f"v1{a}"][sel] for a in "xyz"], 1)
+        v2 = v1 + np.stack([soup[f"e1{a}"][sel] for a in "xyz"], 1)
+        v3 = v1 + np.stack([soup[f"e2{a}"][sel] for a in "xyz"], 1)
+        pts = np.concatenate([v1, v2, v3], 0)
+        center = 0.5 * (pts.min(0) + pts.max(0))
+        r2 = float(((pts - center) ** 2).sum(1).max()) * (1.0 + 1e-5)
+        bounds[m] = [center[0], center[1], center[2], r2]
+    return blocks, bounds
+
+
+def _bound_lower_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r2):
+    """Conservative lower bound on any hit-t inside the bounding sphere:
+    max(entry_t, 0) when the ray meets the sphere, else +BIG."""
+    f32 = jnp.float32
+    big = f32(3.0e38)
+    rox, roy, roz = ox - cx, oy - cy, oz - cz
+    hb = rox * dx + roy * dy + roz * dz
+    c = rox * rox + roy * roy + roz * roz - r2
+    disc = hb * hb - c
+    sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
+    t_entry = -hb - sq
+    t_exit = sq - hb
+    hit = (disc >= 0.0) & (t_exit >= 0.0)
+    return jnp.where(hit, jnp.maximum(t_entry, f32(0.0)), big)
+
+
+def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, tpad):
+    """Möller-Trumbore over one SMEM-resident mesh block, tracking the
+    running best hit with candidate-time attribute interpolation."""
+    f32 = jnp.float32
+    big = f32(3.0e38)
+    eps = f32(1e-6)
+
+    def tri(t, carry):
+        (bt, bu, bv, bnx, bny, bnz, btu, btv, bmesh) = carry
+        v1x, v1y, v1z = blk[_V1, t], blk[_V1 + 1, t], blk[_V1 + 2, t]
+        e1x, e1y, e1z = blk[_E1, t], blk[_E1 + 1, t], blk[_E1 + 2, t]
+        e2x, e2y, e2z = blk[_E2, t], blk[_E2 + 1, t], blk[_E2 + 2, t]
+        # P = cross(dir, e2); det = dot(e1, P) (glsl:123-124)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        det_ok = jnp.abs(det) >= eps
+        rcp = f32(1.0) / jnp.where(det_ok, det, f32(1.0))
+        tx, ty, tz = ox - v1x, oy - v1y, oz - v1z
+        u = (tx * px + ty * py + tz * pz) * rcp
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * rcp
+        th = (e2x * qx + e2y * qy + e2z * qz) * rcp
+        valid = (det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                 & (u + v <= 1.0) & (th >= eps))
+        th = jnp.where(valid, th, big)
+        better = th < bt
+        # Interpolated attributes (glsl:186-187), unnormalized like the
+        # reference.
+        w = f32(1.0) - u - v
+        nx = u * blk[_NB, t] + v * blk[_NC, t] + w * blk[_NA, t]
+        ny = u * blk[_NB + 1, t] + v * blk[_NC + 1, t] + w * blk[_NA + 1, t]
+        nz = u * blk[_NB + 2, t] + v * blk[_NC + 2, t] + w * blk[_NA + 2, t]
+        tu = u * blk[_TB, t] + v * blk[_TC, t] + w * blk[_TA, t]
+        tv = u * blk[_TB + 1, t] + v * blk[_TC + 1, t] + w * blk[_TA + 1, t]
+        return (jnp.where(better, th, bt), jnp.where(better, u, bu),
+                jnp.where(better, v, bv), jnp.where(better, nx, bnx),
+                jnp.where(better, ny, bny), jnp.where(better, nz, bnz),
+                jnp.where(better, tu, btu), jnp.where(better, tv, btv),
+                jnp.where(better, jnp.int32(m), bmesh))
+
+    return jax.lax.fori_loop(0, tpad, tri, carry)
+
+
+def _kernel(cfg, mesh_count, tpad, *refs):
+    if cfg.rng == "threefry":
+        (sched_ref, cam_ref, bcx_ref, bcy_ref, bcz_ref, br2_ref, blocks_hbm,
+         accum_in, _out_in, accum_out, out_out, smem_blk, dma_sem) = refs
+        rng_in = rng_out = None
+    else:
+        (sched_ref, cam_ref, bcx_ref, bcy_ref, bcz_ref, br2_ref, blocks_hbm,
+         accum_in, _out_in, rng_in, accum_out, out_out, rng_out,
+         smem_blk, dma_sem) = refs
+
+    f32 = jnp.float32
+    big = f32(3.0e38)
+    i = pl.program_id(0)
+    tile_x = sched_ref[i, 0]
+    tile_y = sched_ref[i, 1]
+    row, col = tile_pixel_coords(cfg, tile_x, tile_y)
+    pixel_index = (col + row * jnp.int32(cfg.padded_width)).astype(jnp.uint32)
+    sample_index = accum_in[3].astype(jnp.int32).astype(jnp.uint32)
+
+    sampler, finalize = make_kernel_sampler(cfg, pixel_index, sample_index,
+                                            rng_in, rng_out)
+    u1, u2 = sampler.draw2()
+    rays = generate_rays(cfg, cam_ref, col.astype(f32), row.astype(f32),
+                         u1, u2)
+    shape = (cfg.tile_height, cfg.tile_width)
+
+    def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
+        zero = jnp.zeros(shape, f32)
+        init = (jnp.full(shape, big, f32), zero, zero, zero, zero, zero,
+                zero, zero, jnp.full(shape, -1, jnp.int32))
+
+        def per_mesh(m, carry):
+            lower = _bound_lower_t(ox, oy, oz, dx, dy, dz, bcx_ref[m],
+                                   bcy_ref[m], bcz_ref[m], br2_ref[m])
+            # Exact-conservative cull: the mesh can matter only for lanes
+            # whose bound entry is closer than their current best.
+            needed = jnp.any(lower < carry[0])
+
+            def sweep(carry):
+                dma = pltpu.make_async_copy(blocks_hbm.at[m], smem_blk,
+                                            dma_sem)
+                dma.start()
+                dma.wait()
+                return _sweep_mesh(smem_blk, m, carry, ox, oy, oz,
+                                   dx, dy, dz, tpad)
+
+            return jax.lax.cond(needed, sweep, lambda c: c, carry)
+
+        bt, bu, bv, nx, ny, nz, tu, tv, bmesh = jax.lax.fori_loop(
+            0, mesh_count, per_mesh, init)
+        hit = bt < big
+        bt = jnp.where(hit, bt, f32(-1.0))
+        return Hit(t=bt, px=ox + bt * dx, py=oy + bt * dy, pz=oz + bt * dz,
+                   nx=nx, ny=ny, nz=nz, index=bmesh,
+                   emis_r2=jnp.ones(shape, f32),  # glsl:268: sqrRadius = 1
+                   tc_u=tu, tc_v=tv, b_u=bu, b_v=bv)
+
+    r, g, b = shade(cfg, intersect, sampler, *rays, miss_color=(1.0, 0.0, 1.0),
+                    skip_empty=cfg.skip_empty_tiles)
+    accumulate_and_tonemap(cfg, accum_in, accum_out, out_out, r, g, b)
+    finalize()
+
+
+@register_kernel("triangle")
+def build_triangle_step(cfg, scene: TriangleScene, tile_array):
+    th, tw = cfg.tile_height, cfg.tile_width
+    hp, wp = cfg.padded_height, cfg.padded_width
+    k = cfg.effective_tiles_per_step
+    tile_array = jnp.asarray(tile_array)
+    stateful = cfg.rng != "threefry"
+    rng_planes = 8 if cfg.rng == "tinymt" else 4
+
+    blocks_np, bounds_np = pack_mesh_blocks(scene)
+    mesh_count, _, tpad = blocks_np.shape
+    blocks = jnp.asarray(blocks_np)
+    bounds = [jnp.asarray(bounds_np[:, j]) for j in range(4)]
+
+    def tile_map(planes):
+        return pl.BlockSpec(
+            (planes, th, tw),
+            lambda i, sched: (0, sched[i, 1], sched[i, 0]),
+            memory_space=pltpu.VMEM)
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem(),                          # camera
+                smem(), smem(), smem(), smem(),  # mesh bounds SoA
+                pl.BlockSpec(memory_space=pltpu.ANY),  # triangle blocks (HBM)
+                tile_map(4), tile_map(3)]
+    out_specs = [tile_map(4), tile_map(3)]
+    out_shape = [jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+                 jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)]
+    aliases = {7: 0, 8: 1}  # indices include the scalar-prefetch schedule
+    if stateful:
+        in_specs.append(tile_map(rng_planes))
+        out_specs.append(tile_map(rng_planes))
+        out_shape.append(jax.ShapeDtypeStruct((rng_planes, hp, wp), jnp.uint32))
+        aliases[9] = 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.SMEM((_N_ROWS, tpad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    call = pl.pallas_call(
+        partial(_kernel, cfg, mesh_count, tpad),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret_mode(),
+    )
+
+    def step(state: FrameState, camera) -> FrameState:
+        sched = scheduled_tiles(tile_array, state.tile_offset, k)
+        args = [sched, jnp.asarray(camera, jnp.float32), *bounds, blocks,
+                state.accum, state.output]
+        if stateful:
+            args.append(state.rng_state)
+        outs = call(*args)
+        return FrameState(
+            accum=outs[0],
+            output=outs[1],
+            tile_offset=advance_offset(cfg, state.tile_offset),
+            iteration=state.iteration + 1,
+            rng_state=outs[2] if stateful else None,
+        )
+
+    return step

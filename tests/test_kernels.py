@@ -89,6 +89,57 @@ class TestSphereKernelParity:
                                    atol=1e-5)
 
 
+class TestTriangleKernel:
+    TRI_CFG = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=8, disc_lat=8,
+                           disc_long=4, tiles_per_step=1,
+                           scene_kind="triangle").validate()
+
+    def run(self, backend, cfg=None, n=2):
+        from l2n_tpu.render.program import TriangleProgram
+        cfg = cfg or self.TRI_CFG
+        prog = TriangleProgram(cfg, backend=backend)
+        cam = Camera.from_config(prog.cfg).packed()
+        st = init_frame_state(prog.cfg)
+        for _ in range(n):
+            st = prog.step(st, cam)
+        return st
+
+    def test_matches_xla_oracle(self):
+        """Two-level (bound-cull + DMA-paged sweep) kernel vs the brute-force
+        oracle — different algorithms, same image (interpret mode on CPU is
+        bit-exact here)."""
+        so = self.run("xla")
+        sp = self.run("pallas")
+        np.testing.assert_array_equal(np.asarray(so.accum[3]),
+                                      np.asarray(sp.accum[3]))
+        d = np.abs(np.asarray(so.accum) - np.asarray(sp.accum))
+        assert np.sqrt((d ** 2).mean()) < 1e-3
+        assert (d > 1e-3).mean() < 1e-3
+
+    def test_tex_coords_aov(self):
+        cfg = self.TRI_CFG.replace(aov="tex_coords")
+        so = self.run("xla", cfg)
+        sp = self.run("pallas", cfg)
+        d = np.abs(np.asarray(so.accum) - np.asarray(sp.accum))
+        assert (d > 1e-4).mean() < 1e-3
+
+    def test_pack_mesh_blocks(self):
+        from l2n_tpu.ops.kernels.triangle_pt import pack_mesh_blocks
+        from l2n_tpu.scene import build_triangle_scene, compute_spheres
+        spheres = compute_spheres(4, 256.0, seed=0)
+        scene = build_triangle_scene(spheres, 8, 4)
+        blocks, bounds = pack_mesh_blocks(scene)
+        assert blocks.shape == (4, 24, 128)  # 64 tris/mesh padded to 128
+        # Bounds must contain every vertex of their mesh (conservative).
+        v = np.asarray(scene.vertices).reshape(4, -1, 3)
+        for m in range(4):
+            d2 = ((v[m] - bounds[m, :3]) ** 2).sum(1)
+            assert (d2 <= bounds[m, 3] + 1e-3).all()
+        # Padding triangles are degenerate (all-zero edges).
+        assert (blocks[:, 3:9, 64:] == 0).all()
+
+
 class TestUVDemo:
     def test_pattern(self):
         img = np.asarray(uv_demo(32, 128, 0.0))
