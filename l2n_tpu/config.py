@@ -49,6 +49,10 @@ class RenderConfig:
     # (tileCountPerIteration = tileCountX, src/main.cpp:834).
     tiles_per_step: int = 0  # 0 => one row (tile_count_x), like the reference
     tile_shuffle_seed: int = 0  # fixed-seed shuffle (std::mt19937, main.cpp:844)
+    # Samples per pixel per scheduled tile per step. The reference always
+    # takes 1 (one dispatch = one sample, glsl:391); >1 amortizes per-tile
+    # fixed costs (DMA, tonemap, scheduling) across samples on TPU.
+    spp_per_step: int = 1
 
     # Path tracing -----------------------------------------------------------
     # Reference caps at pathLength <= 1, i.e. at most 2 path segments

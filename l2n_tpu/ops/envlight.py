@@ -64,8 +64,9 @@ def mandelbrot_le(dx, dy, dz):
 def sun_le(dx, dy, dz):
     """Scalar radiance of the sun lobe: pow(max(0, dot(sunDir, d)), 128)
     with sunDir = normalize(1, 1, -1) (src/main.cpp:401,445)."""
+    import math
     f32 = jnp.float32
-    s = f32(1.0 / jnp.sqrt(3.0).item())
+    s = f32(1.0 / math.sqrt(3.0))
     d = jnp.maximum(f32(0.0), s * dx + s * dy - s * dz)
     # pow(x, 128) as 7 squarings — cheaper and exact for integer powers.
     for _ in range(7):

@@ -29,8 +29,8 @@ MOLLER_TRUMBORE_EPS = 1e-6  # EPSILON, triangle_pathtracing.cs.glsl:10
 
 
 def intersect_sphere_scene(
-    ox, oy, oz, dx, dy, dz, sphere_count: int, fetch: Fetch,
-    unroll: int = 1,
+    ox, oy, oz, dx, dy, dz, sphere_count, fetch: Fetch,
+    unroll: int = 1, index_map=None,
 ):
     """Nearest hit against `sphere_count` spheres.
 
@@ -64,14 +64,20 @@ def intersect_sphere_scene(
         hb = rox * dx + roy * dy + roz * dz
         c = rox * rox + roy * roy + roz * roz - r2
         disc = hb * hb - c
-        sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
-        t1 = -hb - sq
-        t2 = sq - hb
+        # disc < 0 makes sq NaN; NaN compares false everywhere below, so the
+        # candidate poisons itself to +BIG — no explicit disc test needed.
+        sq = jnp.sqrt(disc)
+        nhb = -hb
+        t1 = nhb - sq
+        t2 = nhb + sq
         t = jnp.where(t1 >= 0.0, t1, t2)
-        t = jnp.where((disc >= 0.0) & (t >= 0.0), t, big)
+        t = jnp.where(t >= 0.0, t, big)
         better = t < best_t
         best_t = jnp.where(better, t, best_t)
-        best_i = jnp.where(better, jnp.int32(i), best_i)
+        # index_map translates sweep position -> true scene index when the
+        # sweep runs over a culled/compacted subset.
+        true_i = jnp.int32(i) if index_map is None else index_map(i)
+        best_i = jnp.where(better, true_i, best_i)
         bcx = jnp.where(better, jnp.broadcast_to(cx, shape), bcx)
         bcy = jnp.where(better, jnp.broadcast_to(cy, shape), bcy)
         bcz = jnp.where(better, jnp.broadcast_to(cz, shape), bcz)

@@ -72,10 +72,12 @@ def safe_gamma(x, gamma: float):
     return jnp.where(x <= 0.0, jnp.float32(0.0), jnp.exp(g * jnp.log(safe)))
 
 
-def accumulate_and_tonemap(cfg, accum_in_ref, accum_out_ref, out_ref, r, g, b):
-    """newEstimate = current + (color, 1); out = pow(rgb/n, gamma)
-    (glsl:391-395) over the whole tile block."""
-    n = accum_in_ref[3] + jnp.float32(1.0)
+def accumulate_and_tonemap(cfg, accum_in_ref, accum_out_ref, out_ref, r, g, b,
+                           spp: int = 1):
+    """newEstimate = current + (color_sum, spp); out = pow(rgb/n, gamma)
+    (glsl:391-395) over the whole tile block; r/g/b are sums of `spp`
+    samples."""
+    n = accum_in_ref[3] + jnp.float32(spp)
     cr = accum_in_ref[0] + r
     cg = accum_in_ref[1] + g
     cb = accum_in_ref[2] + b

@@ -7,12 +7,20 @@ glsl:5) runs the whole pipeline in VMEM:
   tile lookup (scalar-prefetch schedule)  <-  glsl:356-359
   per-pixel RNG                           <-  glsl:367 (threefry default)
   jittered primary ray                    <-  glsl:371-384
-  masked bounce loop over 128 spheres     <-  glsl:272-317
+  masked bounce loop over the spheres     <-  glsl:272-317
   accumulate + gamma display              <-  glsl:391-395
 
 Scene constants live in SMEM (the std430/bindless buffer analog,
 glsl:56-57); the accumulation/output/RNG planes are HBM-resident and
 block-aliased in/out so only scheduled tiles move HBM<->VMEM.
+
+Primary-cast acceleration (absent in the reference's brute-force scan,
+glsl:185-197): all primary rays of a tile share the camera origin and span a
+known cone, so a scalar-only pre-pass compacts the spheres intersecting that
+cone into an SMEM list; the primary sweep then visits only those (typically
+a handful of 128), with per-sphere origin terms folded to scalars. Bounce
+casts have no tile coherence and use the full sweep — but they only run
+while any lane is alive (`skip_empty_tiles`).
 """
 
 from __future__ import annotations
@@ -24,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from l2n_tpu.camera.camera import ROW_POSITION
 from l2n_tpu.ops.intersect import intersect_sphere_scene
 from l2n_tpu.ops.kernels import register_kernel
 from l2n_tpu.ops.kernels.common import (
@@ -37,15 +46,138 @@ from l2n_tpu.render.state import FrameState
 from l2n_tpu.render.tiles import advance_offset, scheduled_tiles
 
 
-def _kernel(cfg, n_spheres, sphere_unroll, *refs):
+def visibility_table(cfg, scene, camera, sched) -> jnp.ndarray:
+    """(K, 1 + n) int32 — per scheduled tile: [n_visible, kept sphere
+    indices..., culled indices...].
+
+    Per-tile cone culling for the primary cast, computed vectorized in XLA
+    outside the kernel (it only depends on the camera + schedule): every
+    jittered primary ray of a tile lies in the cone spanned by its corner
+    rays; a sphere can matter only if it meets that cone. The test is
+    exact-conservative (margins widen the cone), so extra kept spheres cost
+    only work, never correctness.
+    """
+    f32 = jnp.float32
+    x0 = sched[:, 0].astype(f32) * f32(cfg.tile_width)     # (K,)
+    y0 = sched[:, 1].astype(f32) * f32(cfg.tile_height)
+    x1 = x0 + f32(cfg.tile_width)
+    y1 = y0 + f32(cfg.tile_height)
+    zero = jnp.zeros_like(x0)
+
+    def dir_at(px, py):
+        _, _, _, dx, dy, dz = generate_rays(cfg, camera, px, py, zero, zero)
+        return dx, dy, dz
+
+    ax, ay, az = dir_at(f32(0.5) * (x0 + x1), f32(0.5) * (y0 + y1))
+    cos_min = jnp.ones_like(ax)
+    for px, py in ((x0, y0), (x1, y0), (x0, y1), (x1, y1)):
+        dx, dy, dz = dir_at(px, py)
+        cos_min = jnp.minimum(cos_min, dx * ax + dy * ay + dz * az)
+    # Corner sampling slightly underestimates the cone of a spherical quad;
+    # relax in cosine space.
+    cos_safe = cos_min - f32(0.05) * (f32(1.0) - cos_min) - f32(1e-4)
+    sin_safe = jnp.sqrt(jnp.maximum(f32(1.0) - cos_safe * cos_safe, f32(0.0)))
+
+    pos = camera[ROW_POSITION]
+    vx = scene.center_x[None, :] - pos[0]   # (1, n) - camera origin
+    vy = scene.center_y[None, :] - pos[1]
+    vz = scene.center_z[None, :] - pos[2]
+    r2 = scene.sqr_radius[None, :]
+    d2 = vx * vx + vy * vy + vz * vz
+    dlen = jnp.sqrt(jnp.maximum(d2, f32(1e-20)))
+    cos_phi = (vx * ax[:, None] + vy * ay[:, None] + vz * az[:, None]) / dlen
+    sin_a = jnp.minimum(jnp.sqrt(r2) / dlen, f32(1.0))
+    cos_a = jnp.sqrt(jnp.maximum(f32(1.0) - sin_a * sin_a, f32(0.0)))
+    keep = (d2 <= r2) | (
+        cos_phi >= cos_safe[:, None] * cos_a - sin_safe[:, None] * sin_a)
+
+    n_vis = keep.sum(axis=1, dtype=jnp.int32)
+    # Stable kept-first compaction per tile.
+    order = jnp.argsort(~keep, axis=1, stable=True).astype(jnp.int32)
+    return jnp.concatenate([n_vis[:, None], order], axis=1)
+
+
+# Spheres tested per chunk of the culled primary sweep (statically unrolled;
+# chunks are skipped wholesale once past the visible count).
+_CULL_CHUNK = 16
+
+
+def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz):
+    """Primary sweep over the tile's compacted visible-sphere list.
+
+    Statically unrolled chunks of _CULL_CHUNK candidates; whole chunks are
+    skipped (lax.cond) once past n_vis. Padding candidates are real scene
+    spheres (just culled ones), so testing a partial chunk's tail is
+    harmless — it can only re-confirm misses.
+    """
+    f32 = jnp.float32
+    big = f32(3.0e38)
+    shape = jnp.shape(dx)
+    carry = (jnp.full(shape, big, f32), jnp.full(shape, -1, jnp.int32),
+             jnp.zeros(shape, f32), jnp.zeros(shape, f32),
+             jnp.zeros(shape, f32), jnp.ones(shape, f32))
+
+    def candidate(s, carry):
+        best_t, best_i, bcx, bcy, bcz, br2 = carry
+        cx, cy, cz, r2 = fetch(s)
+        rox, roy, roz = ox - cx, oy - cy, oz - cz  # scalar for primary rays
+        hb = rox * dx + roy * dy + roz * dz
+        c = rox * rox + roy * roy + roz * roz - r2
+        sq = jnp.sqrt(hb * hb - c)  # NaN when disc < 0 -> poisons below
+        nhb = -hb
+        t1 = nhb - sq
+        t2 = nhb + sq
+        t = jnp.where(t1 >= 0.0, t1, t2)
+        t = jnp.where(t >= 0.0, t, big)
+        better = t < best_t
+        return (jnp.where(better, t, best_t),
+                jnp.where(better, s, best_i),
+                jnp.where(better, jnp.broadcast_to(cx, shape), bcx),
+                jnp.where(better, jnp.broadcast_to(cy, shape), bcy),
+                jnp.where(better, jnp.broadcast_to(cz, shape), bcz),
+                jnp.where(better, jnp.broadcast_to(r2, shape), br2))
+
+    n_chunks = -(-n_spheres // _CULL_CHUNK)
+
+    def chunk_body(chunk, carry):
+        def run(carry):
+            base = chunk * _CULL_CHUNK
+            for k in range(_CULL_CHUNK):
+                # Clamp keeps the tail of the last chunk in bounds when the
+                # sphere count is not a chunk multiple (re-tests are benign).
+                s = vis_row(jnp.minimum(base + jnp.int32(k),
+                                        jnp.int32(n_spheres - 1)))
+                carry = candidate(s, carry)
+            return carry
+
+        return jax.lax.cond(chunk * _CULL_CHUNK < n_vis, run,
+                            lambda c: c, carry)
+
+    carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
+
+    best_t, best_i, bcx, bcy, bcz, br2 = carry
+    hit = best_t < big
+    best_t = jnp.where(hit, best_t, f32(-1.0))
+    px = ox + best_t * dx
+    py = oy + best_t * dy
+    pz = oz + best_t * dz
+    nx, ny, nz = px - bcx, py - bcy, pz - bcz
+    rcp = jnp.where(hit, f32(1.0) / jnp.sqrt(nx * nx + ny * ny + nz * nz),
+                    f32(0.0))
+    return Hit(t=best_t, px=px, py=py, pz=pz, nx=nx * rcp, ny=ny * rcp,
+               nz=nz * rcp, index=best_i, emis_r2=br2)
+
+
+def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
     if cfg.rng == "threefry":
-        (sched_ref, cam_ref, cx_ref, cy_ref, cz_ref, r2_ref,
+        (sched_ref, vis_ref, cam_ref, cx_ref, cy_ref, cz_ref, r2_ref,
          accum_in, _out_in, accum_out, out_out) = refs
         rng_in = rng_out = None
     else:
-        (sched_ref, cam_ref, cx_ref, cy_ref, cz_ref, r2_ref,
+        (sched_ref, vis_ref, cam_ref, cx_ref, cy_ref, cz_ref, r2_ref,
          accum_in, _out_in, rng_in, accum_out, out_out, rng_out) = refs
 
+    f32 = jnp.float32
     i = pl.program_id(0)
     tile_x = sched_ref[i, 0]
     tile_y = sched_ref[i, 1]
@@ -53,12 +185,6 @@ def _kernel(cfg, n_spheres, sphere_unroll, *refs):
     pixel_index = (col + row * jnp.int32(cfg.padded_width)).astype(jnp.uint32)
     # Mosaic lacks a direct f32->u32 cast; go through i32 (counts < 2^31).
     sample_index = accum_in[3].astype(jnp.int32).astype(jnp.uint32)
-
-    sampler, finalize = make_kernel_sampler(cfg, pixel_index, sample_index,
-                                            rng_in, rng_out)
-    u1, u2 = sampler.draw2()  # pixel jitter (glsl:371)
-    rays = generate_rays(cfg, cam_ref, col.astype(jnp.float32),
-                         row.astype(jnp.float32), u1, u2)
 
     def fetch(s):
         return cx_ref[s], cy_ref[s], cz_ref[s], r2_ref[s]
@@ -69,16 +195,44 @@ def _kernel(cfg, n_spheres, sphere_unroll, *refs):
         return Hit(t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
                    index=idx, emis_r2=br2)
 
-    r, g, b = shade(cfg, intersect, sampler, *rays,
-                    skip_empty=cfg.skip_empty_tiles)
-    accumulate_and_tonemap(cfg, accum_in, accum_out, out_out, r, g, b)
+    if cone_cull:
+        n_vis = vis_ref[i, 0]
+
+        def intersect_primary(ox, oy, oz, dx, dy, dz) -> Hit:
+            return _culled_sweep(n_spheres, fetch,
+                                 lambda k: vis_ref[i, 1 + k], n_vis,
+                                 ox, oy, oz, dx, dy, dz)
+    else:
+        intersect_primary = intersect
+
+    # Sample loop: several samples per pixel per scheduled tile amortize the
+    # per-tile fixed costs (block DMA, tonemap, grid step).
+    sum_r = sum_g = sum_b = jnp.zeros((cfg.tile_height, cfg.tile_width), f32)
+    finalize = lambda: None
+    for s in range(cfg.spp_per_step):
+        sampler, finalize = make_kernel_sampler(
+            cfg, pixel_index, sample_index + jnp.uint32(s), rng_in, rng_out)
+        u1, u2 = sampler.draw2()  # pixel jitter (glsl:371)
+        rays = generate_rays(cfg, cam_ref, col.astype(f32), row.astype(f32),
+                             u1, u2)
+        r, g, b = shade(cfg, intersect, sampler, *rays,
+                        skip_empty=cfg.skip_empty_tiles,
+                        intersect_primary=intersect_primary)
+        sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
+        if cfg.rng != "threefry" and s + 1 < cfg.spp_per_step:
+            # Stateful modes must chain states across sub-samples.
+            finalize()
+            rng_in = rng_out
+    accumulate_and_tonemap(cfg, accum_in, accum_out, out_out,
+                           sum_r, sum_g, sum_b, spp=cfg.spp_per_step)
     finalize()
 
 
 @register_kernel("sphere")
-def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None):
+def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
+                      cone_cull: bool = True):
     # Mosaic only supports unroll == 1 or == trip count; fully unrolling the
-    # sphere sweep measures ~1.4x faster (no loop/scalar-load overhead).
+    # (bounce) sphere sweep measures ~1.4x faster.
     if sphere_unroll is None:
         sphere_unroll = scene.count if scene.count <= 256 else 1
     th, tw = cfg.tile_height, cfg.tile_width
@@ -95,7 +249,7 @@ def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None):
         # resolved on the host side of the jit already.
         return pl.BlockSpec(
             (planes, th, tw),
-            lambda i, sched: (0, sched[i, 1], sched[i, 0]),
+            lambda i, sched, vis: (0, sched[i, 1], sched[i, 0]),
             memory_space=pltpu.VMEM)
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -105,23 +259,23 @@ def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None):
     out_specs = [tile_map(4), tile_map(3)]
     out_shape = [jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
                  jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)]
-    # Operand indices include the scalar-prefetch schedule (index 0).
-    aliases = {6: 0, 7: 1}
+    # Operand indices include the two scalar-prefetch args (schedule, table).
+    aliases = {7: 0, 8: 1}
     if stateful:
         in_specs.append(tile_map(rng_planes))
         out_specs.append(tile_map(rng_planes))
         out_shape.append(jax.ShapeDtypeStruct((rng_planes, hp, wp), jnp.uint32))
-        aliases[8] = 2
+        aliases[9] = 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(k,),
         in_specs=in_specs,
         out_specs=out_specs,
     )
 
     call = pl.pallas_call(
-        partial(_kernel, cfg, n, sphere_unroll),
+        partial(_kernel, cfg, n, sphere_unroll, cone_cull),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
@@ -132,8 +286,13 @@ def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None):
                       scene.sqr_radius)
 
     def step(state: FrameState, camera) -> FrameState:
+        camera = jnp.asarray(camera, jnp.float32)
         sched = scheduled_tiles(tile_array, state.tile_offset, k)
-        args = [sched, jnp.asarray(camera, jnp.float32), cx, cy, cz, r2,
+        if cone_cull:
+            table = visibility_table(cfg, scene, camera, sched)
+        else:
+            table = jnp.zeros((k, 1 + n), jnp.int32)
+        args = [sched, table, camera, cx, cy, cz, r2,
                 state.accum, state.output]
         if stateful:
             args.append(state.rng_state)

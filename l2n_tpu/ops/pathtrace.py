@@ -118,11 +118,11 @@ def generate_rays(cfg, cam, px, py, u1, u2):
         raise ValueError(f"unknown ray_gen {cfg.ray_gen!r}")
 
     dx, dy, dz = normalize3(wx - pos_x, wy - pos_y, wz - pos_z)
-    shape = jnp.shape(dx)
-    ox = jnp.broadcast_to(pos_x, shape)
-    oy = jnp.broadcast_to(pos_y, shape)
-    oz = jnp.broadcast_to(pos_z, shape)
-    return ox, oy, oz, dx, dy, dz
+    # The origin stays SCALAR (all primary rays share the camera position,
+    # glsl:384): downstream per-sphere terms involving only the origin then
+    # fold to scalars in the primary intersection sweep — a sizable VPU
+    # saving. Everything broadcasts on demand.
+    return pos_x, pos_y, pos_z, dx, dy, dz
 
 
 # ---------------------------------------------------------------------------
@@ -130,7 +130,8 @@ def generate_rays(cfg, cam, px, py, u1, u2):
 # ---------------------------------------------------------------------------
 
 def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
-               skip_empty: bool = False, stats: dict | None = None):
+               skip_empty: bool = False, stats: dict | None = None,
+               intersect_primary: IntersectFn | None = None):
     """Trace one sample per lane; returns (r, g, b).
 
     Exact mask translation of sphere_pathtracing.cs.glsl:272-317 — see the
@@ -147,7 +148,12 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
     f32 = jnp.float32
     shape = jnp.shape(dx)
 
-    hit = intersect(ox, oy, oz, dx, dy, dz)
+    # The primary cast may use a specialized sweep (constant origin, tile
+    # cone culling); bounce casts see arbitrary rays and use the full one.
+    hit = (intersect_primary or intersect)(ox, oy, oz, dx, dy, dz)
+    ox = jnp.broadcast_to(ox, shape)
+    oy = jnp.broadcast_to(oy, shape)
+    oz = jnp.broadcast_to(oz, shape)
     carry = (
         ox, oy, oz, dx, dy, dz,
         jnp.ones(shape, f32), jnp.ones(shape, f32), jnp.ones(shape, f32),
@@ -283,12 +289,13 @@ def aov_hit(intersect, ox, oy, oz, dx, dy, dz):
     return v, v, v
 
 
-def aov_ambient_occlusion(cfg, intersect, sampler, ox, oy, oz, dx, dy, dz):
+def aov_ambient_occlusion(cfg, intersect, sampler, ox, oy, oz, dx, dy, dz,
+                          intersect_primary=None):
     """One-bounce white-sky AO (sphere_pathtracing.cs.glsl:319-340):
     cosine-sample the hemisphere at the hit; white if the second ray
     escapes, black otherwise."""
     f32 = jnp.float32
-    h = intersect(ox, oy, oz, dx, dy, dz)
+    h = (intersect_primary or intersect)(ox, oy, oz, dx, dy, dz)
     active = h.t >= 0.0
     tangent, bitangent = frame_z(h.nx, h.ny, h.nz)
     u1, u2 = sampler.draw2(mask=active)
@@ -330,20 +337,26 @@ def aov_param_uv(intersect, ox, oy, oz, dx, dy, dz):
 
 
 def shade(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
-          miss_color=(0.0, 0.0, 0.0), skip_empty: bool = False):
-    """Dispatch on cfg.aov (static)."""
+          miss_color=(0.0, 0.0, 0.0), skip_empty: bool = False,
+          intersect_primary: IntersectFn | None = None):
+    """Dispatch on cfg.aov (static). `intersect_primary` (optional) is a
+    sweep specialized for the camera cast; AOVs are all primary-only except
+    the second AO ray."""
+    primary = intersect_primary or intersect
     if cfg.aov == "pathtracing":
         return trace_path(cfg, intersect, sampler, ox, oy, oz, dx, dy, dz,
-                          skip_empty=skip_empty)
+                          skip_empty=skip_empty,
+                          intersect_primary=intersect_primary)
     if cfg.aov == "normal":
-        return aov_normal(intersect, ox, oy, oz, dx, dy, dz, miss_color)
+        return aov_normal(primary, ox, oy, oz, dx, dy, dz, miss_color)
     if cfg.aov == "hit":
-        return aov_hit(intersect, ox, oy, oz, dx, dy, dz)
+        return aov_hit(primary, ox, oy, oz, dx, dy, dz)
     if cfg.aov == "ambient_occlusion":
         return aov_ambient_occlusion(cfg, intersect, sampler,
-                                     ox, oy, oz, dx, dy, dz)
+                                     ox, oy, oz, dx, dy, dz,
+                                     intersect_primary=intersect_primary)
     if cfg.aov == "tex_coords":
-        return aov_tex_coords(intersect, ox, oy, oz, dx, dy, dz)
+        return aov_tex_coords(primary, ox, oy, oz, dx, dy, dz)
     if cfg.aov == "param_uv":
-        return aov_param_uv(intersect, ox, oy, oz, dx, dy, dz)
+        return aov_param_uv(primary, ox, oy, oz, dx, dy, dz)
     raise ValueError(f"unknown aov {cfg.aov!r}")

@@ -89,16 +89,25 @@ def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
     pixel_index = (px + py * jnp.int32(w)).astype(jnp.uint32)
     sample_index = state.accum[3].astype(jnp.int32).astype(jnp.uint32)
 
-    sampler = make_sampler(cfg, state, pixel_index, sample_index, mask,
-                           stream=stream)
-    u1, u2 = sampler.draw2()  # pixel jitter (glsl:371)
-    rays = generate_rays(cfg, camera, px.astype(jnp.float32),
-                         py.astype(jnp.float32), u1, u2)
-    r, g, b = shade(cfg, intersect, sampler, *rays, miss_color=miss_color)
+    spp = cfg.spp_per_step
+    sum_r = sum_g = sum_b = jnp.zeros((h, w), jnp.float32)
+    work = state
+    for s in range(spp):
+        sampler = make_sampler(cfg, work, pixel_index,
+                               sample_index + jnp.uint32(s), mask,
+                               stream=stream)
+        u1, u2 = sampler.draw2()  # pixel jitter (glsl:371)
+        rays = generate_rays(cfg, camera, px.astype(jnp.float32),
+                             py.astype(jnp.float32), u1, u2)
+        r, g, b = shade(cfg, intersect, sampler, *rays, miss_color=miss_color)
+        sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
+        work = dataclasses.replace(
+            work, rng_state=merge_rng_state(cfg, work, sampler, mask))
 
-    # newEstimate = current + (color, 1); display = pow(rgb/n, gamma)
+    # newEstimate = current + (color_sum, spp); display = pow(rgb/n, gamma)
     # (glsl:391-395), merged only for scheduled pixels.
-    rgb1 = jnp.stack([r, g, b, jnp.ones_like(r)], axis=0)
+    rgb1 = jnp.stack([sum_r, sum_g, sum_b,
+                      jnp.full((h, w), float(spp), jnp.float32)], axis=0)
     accum = jnp.where(mask[None], state.accum + rgb1, state.accum)
     display = jnp.power(
         jnp.maximum(accum[:3], 0.0)
@@ -112,7 +121,7 @@ def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
         tile_offset=(state.tile_offset + jnp.int32(k))
         % jnp.int32(tile_array.shape[0]),
         iteration=state.iteration + 1,
-        rng_state=merge_rng_state(cfg, state, sampler, mask),
+        rng_state=work.rng_state,
     )
 
 
