@@ -39,6 +39,7 @@ class ThreefrySampler:
         self._base = jnp.asarray(sample_index, jnp.uint32) * jnp.uint32(max_pairs)
         self._max_pairs = max_pairs
         self._pair = 0
+        self._spare = None
 
     def draw2(self, mask=None):
         if self._pair >= self._max_pairs:
@@ -51,7 +52,14 @@ class ThreefrySampler:
         return uniform_oo_from_bits(b0), uniform_oo_from_bits(b1)
 
     def draw1(self, mask=None):
-        return self.draw2(mask)[0]
+        # Single draws consume half a block; cache the sibling so paired
+        # draw1 call sites (e.g. per-bounce Russian roulette) share one
+        # threefry evaluation.
+        if self._spare is not None:
+            u, self._spare = self._spare, None
+            return u
+        u, self._spare = self.draw2(mask)
+        return u
 
     def final_state(self):
         return None
