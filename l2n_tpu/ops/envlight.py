@@ -44,7 +44,7 @@ def mandelbrot_le(dx, dy, dz):
     # int32 — boolean vectors in fori_loop carries fail Mosaic legalization.
     esc = jnp.full(shape, MANDELBROT_ITERS, jnp.int32)
 
-    def body(i, carry):
+    def step_i(i, carry):
         zx, zy, esc = carry
         not_div = esc == MANDELBROT_ITERS
         nzx = zx * zx - zy * zy + px
@@ -55,8 +55,20 @@ def mandelbrot_le(dx, dy, dz):
         esc = jnp.where(not_div & now, i, esc)
         return zx, zy, esc
 
-    zx, zy, esc = jax.lax.fori_loop(
-        0, MANDELBROT_ITERS, body, (zx, zy, esc))
+    # Two-phase early exit: |p| > 2 over most of the sky, so typical lane
+    # blocks fully escape within the first few iterations. Run a short
+    # prefix unconditionally, then skip the long tail wholesale when no
+    # lane is still live (branching per chunk costs more than it saves on
+    # this hardware, so exactly one branch).
+    prefix = 8
+    carry = (zx, zy, esc)
+    carry = jax.lax.fori_loop(0, prefix, step_i, carry)
+
+    def tail(carry):
+        return jax.lax.fori_loop(prefix, MANDELBROT_ITERS, step_i, carry)
+
+    zx, zy, esc = jax.lax.cond(
+        jnp.any(carry[2] == MANDELBROT_ITERS), tail, lambda c: c, carry)
     return jnp.where(esc < MANDELBROT_ITERS,
                      esc.astype(f32) * f32(1.0 / MANDELBROT_ITERS), f32(0.0))
 

@@ -168,11 +168,6 @@ def _kernel(cfg, mesh_count, tpad, *refs):
     pixel_index = (col + row * jnp.int32(cfg.padded_width)).astype(jnp.uint32)
     sample_index = accum_in[3].astype(jnp.int32).astype(jnp.uint32)
 
-    sampler, finalize = make_kernel_sampler(cfg, pixel_index, sample_index,
-                                            rng_in, rng_out)
-    u1, u2 = sampler.draw2()
-    rays = generate_rays(cfg, cam_ref, col.astype(f32), row.astype(f32),
-                         u1, u2)
     shape = (cfg.tile_height, cfg.tile_width)
 
     def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
@@ -206,9 +201,23 @@ def _kernel(cfg, mesh_count, tpad, *refs):
                    emis_r2=jnp.ones(shape, f32),  # glsl:268: sqrRadius = 1
                    tc_u=tu, tc_v=tv, b_u=bu, b_v=bv)
 
-    r, g, b = shade(cfg, intersect, sampler, *rays, miss_color=(1.0, 0.0, 1.0),
-                    skip_empty=cfg.skip_empty_tiles)
-    accumulate_and_tonemap(cfg, accum_in, accum_out, out_out, r, g, b)
+    sum_r = sum_g = sum_b = jnp.zeros(shape, f32)
+    finalize = lambda: None
+    for s in range(cfg.spp_per_step):
+        sampler, finalize = make_kernel_sampler(
+            cfg, pixel_index, sample_index + jnp.uint32(s), rng_in, rng_out)
+        u1, u2 = sampler.draw2()
+        rays = generate_rays(cfg, cam_ref, col.astype(f32), row.astype(f32),
+                             u1, u2)
+        r, g, b = shade(cfg, intersect, sampler, *rays,
+                        miss_color=(1.0, 0.0, 1.0),
+                        skip_empty=cfg.skip_empty_tiles)
+        sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
+        if cfg.rng != "threefry" and s + 1 < cfg.spp_per_step:
+            finalize()
+            rng_in = rng_out
+    accumulate_and_tonemap(cfg, accum_in, accum_out, out_out,
+                           sum_r, sum_g, sum_b, spp=cfg.spp_per_step)
     finalize()
 
 
