@@ -11,7 +11,10 @@ Packed layout (rows):
   0..3  inverse view matrix (row-major)          — uRcpViewMatrix
   4..7  inverse (proj @ view) matrix (row-major) — uRcpViewProjMatrix
   8     camera world position, pad               — uCameraPosition
-  9     (aspect_ratio, tan_half_fovy, 0, 0)      — uProjRatio, uProjTanHalfFovy
+  9     (aspect_ratio, tan_half_fovy,            — uProjRatio, uProjTanHalfFovy
+         row_offset, rng_stream)                 — slab sharding extras (0 on
+                                                   a single chip; written
+                                                   per-shard inside shard_map)
 """
 
 from __future__ import annotations

@@ -35,6 +35,11 @@ class RenderConfig:
     # Image / projection -----------------------------------------------------
     width: int = DEFAULT_WIDTH
     height: int = DEFAULT_HEIGHT
+    # NDC denominators when this config describes a SLAB of a larger sharded
+    # framebuffer (0 = use width/height). Ray generation must map pixel
+    # coords against the full image even when buffers are slab-local.
+    ndc_width: int = 0
+    ndc_height: int = 0
     fovy_deg: float = DEFAULT_FOVY_DEG
     near: float = 0.01   # src/main.cpp:828
     far: float = 100.0   # src/main.cpp:828

@@ -31,15 +31,15 @@ def tile_pixel_coords(cfg, tile_x, tile_y):
 
 
 def make_kernel_sampler(cfg, pixel_index, sample_index, rng_in_ref,
-                        rng_out_ref):
+                        rng_out_ref, stream=0):
     """Build the configured sampler inside a kernel body.
 
     For stateful modes the per-pixel state planes ride in/out as aliased
     VMEM blocks; returns (sampler, finalize) where finalize() writes the
-    stepped states to the output ref.
+    stepped states to the output ref. `stream` decorrelates shard replicas.
     """
     if cfg.rng == "threefry":
-        sampler = ThreefrySampler(cfg.seed, 0, pixel_index, sample_index,
+        sampler = ThreefrySampler(cfg.seed, stream, pixel_index, sample_index,
                                   max_pairs_per_sample(cfg.max_bounces))
         return sampler, lambda: None
     if cfg.rng == "tinymt":

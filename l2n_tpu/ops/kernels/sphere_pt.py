@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from l2n_tpu.camera.camera import ROW_POSITION
+from l2n_tpu.camera.camera import ROW_POSITION, ROW_PROJ
 from l2n_tpu.ops.intersect import intersect_sphere_scene
 from l2n_tpu.ops.kernels import register_kernel
 from l2n_tpu.ops.kernels.common import (
@@ -46,7 +46,7 @@ from l2n_tpu.render.state import FrameState
 from l2n_tpu.render.tiles import advance_offset, scheduled_tiles
 
 
-def visibility_table(cfg, scene, camera, sched) -> jnp.ndarray:
+def visibility_table(cfg, scene, camera, sched, row_offset=0) -> jnp.ndarray:
     """(K, 1 + n) int32 — per scheduled tile: [n_visible, kept sphere
     indices..., culled indices...].
 
@@ -59,7 +59,7 @@ def visibility_table(cfg, scene, camera, sched) -> jnp.ndarray:
     """
     f32 = jnp.float32
     x0 = sched[:, 0].astype(f32) * f32(cfg.tile_width)     # (K,)
-    y0 = sched[:, 1].astype(f32) * f32(cfg.tile_height)
+    y0 = sched[:, 1].astype(f32) * f32(cfg.tile_height) + row_offset
     x1 = x0 + f32(cfg.tile_width)
     y1 = y0 + f32(cfg.tile_height)
     zero = jnp.zeros_like(x0)
@@ -181,7 +181,11 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
     i = pl.program_id(0)
     tile_x = sched_ref[i, 0]
     tile_y = sched_ref[i, 1]
+    # Slab sharding extras (zero on a single chip; see camera.py layout).
+    row_offset = cam_ref[ROW_PROJ, 2].astype(jnp.int32)
+    stream = cam_ref[ROW_PROJ, 3].astype(jnp.int32).astype(jnp.uint32)
     row, col = tile_pixel_coords(cfg, tile_x, tile_y)
+    row = row + row_offset  # global framebuffer row
     pixel_index = (col + row * jnp.int32(cfg.padded_width)).astype(jnp.uint32)
     # Mosaic lacks a direct f32->u32 cast; go through i32 (counts < 2^31).
     sample_index = accum_in[3].astype(jnp.int32).astype(jnp.uint32)
@@ -211,7 +215,8 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
     finalize = lambda: None
     for s in range(cfg.spp_per_step):
         sampler, finalize = make_kernel_sampler(
-            cfg, pixel_index, sample_index + jnp.uint32(s), rng_in, rng_out)
+            cfg, pixel_index, sample_index + jnp.uint32(s), rng_in, rng_out,
+            stream=stream)
         u1, u2 = sampler.draw2()  # pixel jitter (glsl:371)
         rays = generate_rays(cfg, cam_ref, col.astype(f32), row.astype(f32),
                              u1, u2)
@@ -228,9 +233,16 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
     finalize()
 
 
-@register_kernel("sphere")
-def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
+def build_sphere_call(cfg, scene, sphere_unroll: int | None = None,
                       cone_cull: bool = True):
+    """The raw pallas_call over one framebuffer (or one shard's slab).
+
+    Signature of the returned callable:
+      call(sched (K,2) i32, vis_table (K,1+n) i32, camera (10,4) f32,
+           cx, cy, cz, r2 (n,) f32, accum, output[, rng_state])
+    Used directly by the single-chip step below and, per shard, inside the
+    multi-chip shard_map step (l2n_tpu.parallel.step).
+    """
     # Mosaic only supports unroll == 1 or == trip count; fully unrolling the
     # (bounce) sphere sweep measures ~1.4x faster.
     if sphere_unroll is None:
@@ -239,7 +251,6 @@ def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
     hp, wp = cfg.padded_height, cfg.padded_width
     k = cfg.effective_tiles_per_step
     n = scene.count
-    tile_array = jnp.asarray(tile_array)
     stateful = cfg.rng != "threefry"
     rng_planes = 8 if cfg.rng == "tinymt" else 4
 
@@ -274,7 +285,7 @@ def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
         out_specs=out_specs,
     )
 
-    call = pl.pallas_call(
+    return pl.pallas_call(
         partial(_kernel, cfg, n, sphere_unroll, cone_cull),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -282,6 +293,15 @@ def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
         interpret=interpret_mode(),
     )
 
+
+@register_kernel("sphere")
+def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
+                      cone_cull: bool = True):
+    call = build_sphere_call(cfg, scene, sphere_unroll, cone_cull)
+    tile_array = jnp.asarray(tile_array)
+    k = cfg.effective_tiles_per_step
+    n = scene.count
+    stateful = cfg.rng != "threefry"
     cx, cy, cz, r2 = (scene.center_x, scene.center_y, scene.center_z,
                       scene.sqr_radius)
 

@@ -87,8 +87,8 @@ def generate_rays(cfg, cam, px, py, u1, u2):
     Returns (ox, oy, oz, dx, dy, dz).
     """
     f32 = jnp.float32
-    sx = (px + u1) * f32(1.0 / cfg.width)
-    sy = (py + u2) * f32(1.0 / cfg.height)
+    sx = (px + u1) * f32(1.0 / (cfg.ndc_width or cfg.width))
+    sy = (py + u2) * f32(1.0 / (cfg.ndc_height or cfg.height))
     ndx = f32(-1.0) + f32(2.0) * sx
     ndy = f32(-1.0) + f32(2.0) * sy
 

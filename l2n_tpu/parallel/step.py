@@ -74,15 +74,54 @@ def init_sharded_state(cfg: RenderConfig, mesh: Mesh) -> ShardedFrameState:
 
 
 def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
-                       donate: bool = True):
+                       donate: bool = True, backend: str = "auto"):
     """step(ShardedFrameState, packed_camera) -> ShardedFrameState, jitted
-    over the mesh."""
+    over the mesh.
+
+    backend "pallas" runs the fused production kernel per shard inside the
+    shard_map (sphere scenes); "xla" runs the oracle step; "auto" picks
+    pallas when a kernel is registered for the scene kind.
+    """
     cfg.validate()
+    if backend == "auto":
+        from l2n_tpu.ops.kernels import KERNELS
+        backend = "pallas" if cfg.scene_kind in KERNELS \
+            and cfg.scene_kind == "sphere" and cfg.rng == "threefry" else "xla"
     n_tile = mesh.shape["tile"]
     intersect, miss_color = make_intersector(cfg, scene)
     tile_grids = jnp.asarray(slab_tile_grids(cfg, n_tile))
     k = cfg.effective_tiles_per_step
     rows_per_slab = cfg.padded_height // n_tile
+
+    pallas_call_local = None
+    if backend == "pallas":
+        if cfg.scene_kind != "sphere":
+            raise NotImplementedError("sharded pallas backend: sphere scenes")
+        from l2n_tpu.ops.kernels.sphere_pt import (
+            build_sphere_call, visibility_table)
+        # The per-shard kernel renders a slab-sized framebuffer; ray
+        # generation still maps pixels against the full image.
+        slab_cfg = cfg.replace(height=rows_per_slab,
+                               ndc_height=cfg.ndc_height or cfg.height)
+        pallas_call_local = build_sphere_call(slab_cfg, scene)
+        slab_vis_cfg = slab_cfg
+
+    def _pallas_local_step(tiles_l, local, camera, row_offset, stream):
+        from l2n_tpu.camera.camera import ROW_PROJ
+        from l2n_tpu.render.tiles import scheduled_tiles
+        cam = camera.at[ROW_PROJ, 2].set(row_offset.astype(jnp.float32))
+        cam = cam.at[ROW_PROJ, 3].set(stream.astype(jnp.float32))
+        sched = scheduled_tiles(tiles_l, local.tile_offset, k)
+        table = visibility_table(slab_vis_cfg, scene, cam, sched,
+                                 row_offset=row_offset.astype(jnp.float32))
+        accum, output = pallas_call_local(
+            sched, table, cam, scene.center_x, scene.center_y,
+            scene.center_z, scene.sqr_radius, local.accum, local.output)
+        return FrameState(
+            accum=accum, output=output,
+            tile_offset=(local.tile_offset + jnp.int32(k))
+            % jnp.int32(tiles_l.shape[0]),
+            iteration=local.iteration + 1, rng_state=None)
 
     def body(tiles_l, accum_l, out_l, offset, iteration, camera):
         # Local views: tiles_l (1, T, 2), accum_l (1, 4, hl, Wp),
@@ -95,8 +134,13 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
         # Distinct RNG stream per (sample replica, slab): sampling is
         # decorrelated everywhere without any cross-chip coordination.
         stream = sample_rank * jnp.uint32(n_tile) + tile_rank.astype(jnp.uint32)
-        new = _xla_step(cfg, intersect, miss_color, tiles_l[0], local, camera,
-                        row_offset=tile_rank * rows_per_slab, stream=stream)
+        if backend == "pallas":
+            new = _pallas_local_step(tiles_l[0], local, camera,
+                                     tile_rank * rows_per_slab, stream)
+        else:
+            new = _xla_step(cfg, intersect, miss_color, tiles_l[0], local,
+                            camera, row_offset=tile_rank * rows_per_slab,
+                            stream=stream)
         # Fold the sample axis (the one collective) and re-tonemap scheduled
         # pixels so the display uses all n_sample estimates.
         folded = jax.lax.psum(new.accum, "sample")

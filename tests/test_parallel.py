@@ -114,3 +114,24 @@ class TestShardedStep:
         r = make_renderer(8, 1, cfg)
         r.step(Camera.from_config(cfg))
         assert np.asarray(r.state.accum)[:, 3].sum() == 8 * 32 * 128
+
+    def test_pallas_backend_matches_xla_backend(self):
+        """The production kernel runs per shard inside shard_map; it must
+        agree with the sharded oracle step (same draws, same schedule)."""
+        from l2n_tpu.parallel.step import build_sharded_step, init_sharded_state
+        from l2n_tpu.scene import compute_spheres
+        mesh = make_device_mesh(4, 2)
+        scene = compute_spheres(CFG.sphere_count, CFG.world_size,
+                                CFG.scene_seed)
+        cam = Camera.from_config(CFG)
+        accums = {}
+        for be in ("xla", "pallas"):
+            step = build_sharded_step(CFG, scene, mesh, backend=be)
+            st = init_sharded_state(CFG, mesh)
+            for _ in range(2):
+                st = step(st, cam.packed())
+            accums[be] = np.asarray(st.accum)
+        a, b = accums["xla"], accums["pallas"]
+        np.testing.assert_array_equal(a[:, 3], b[:, 3])
+        diff = np.abs(a - b)
+        assert (diff > 1e-3).mean() < 1e-3  # statistical parity budget
