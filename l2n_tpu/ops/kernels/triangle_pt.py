@@ -41,12 +41,12 @@ from l2n_tpu.render.state import FrameState
 from l2n_tpu.render.tiles import advance_offset, scheduled_tiles
 from l2n_tpu.scene.tessellate import TriangleScene
 
-# Rows of the per-mesh triangle block (see pack_mesh_blocks).
-_ROWS = 21  # v1(3) e1(3) e2(3) na(3) nb(3) nc(3) ta(2) tb(2) tc(2) -> 24? see below
-
-# Row indices.
-_V1, _E1, _E2, _NA, _NB, _NC = 0, 3, 6, 9, 12, 15
-_TA, _TB, _TC = 18, 20, 22
+# Row indices of the per-mesh triangle block (see pack_mesh_blocks).
+# Normals/texcoords are stored in affine form (base + per-barycentric
+# deltas): attr(u, v) = base + u*db + v*dc — two FMAs per component instead
+# of the three-weight form.
+_V1, _E1, _E2, _NA, _DNB, _DNC = 0, 3, 6, 9, 12, 15
+_TA, _DTB, _DTC = 18, 20, 22
 _N_ROWS = 24
 
 
@@ -62,10 +62,17 @@ def pack_mesh_blocks(scene: TriangleScene) -> tuple[np.ndarray, np.ndarray]:
     counts = np.bincount(mesh_id, minlength=m_count)
     tpad = max(128, int(-(-counts.max() // 128) * 128))
 
+    # Affine attribute deltas (see row layout above).
+    for a in "xyz":
+        soup[f"dnb{a}"] = soup[f"nb{a}"] - soup[f"na{a}"]
+        soup[f"dnc{a}"] = soup[f"nc{a}"] - soup[f"na{a}"]
+    for a in "uv":
+        soup[f"dtb{a}"] = soup[f"tb{a}"] - soup[f"ta{a}"]
+        soup[f"dtc{a}"] = soup[f"tc{a}"] - soup[f"ta{a}"]
     rows = [
         "v1x", "v1y", "v1z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
-        "nax", "nay", "naz", "nbx", "nby", "nbz", "ncx", "ncy", "ncz",
-        "tau", "tav", "tbu", "tbv", "tcu", "tcv",
+        "nax", "nay", "naz", "dnbx", "dnby", "dnbz", "dncx", "dncy", "dncz",
+        "tau", "tav", "dtbu", "dtbv", "dtcu", "dtcv",
     ]
     assert len(rows) == _N_ROWS
     blocks = np.zeros((m_count, _N_ROWS, tpad), np.float32)
@@ -102,9 +109,11 @@ def _bound_lower_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r2):
     return jnp.where(hit, jnp.maximum(t_entry, f32(0.0)), big)
 
 
-def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, tpad):
+def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, tpad,
+                want_texcoords):
     """Möller-Trumbore over one SMEM-resident mesh block, tracking the
-    running best hit with candidate-time attribute interpolation."""
+    running best hit with candidate-time attribute interpolation.
+    Texcoords are only interpolated when an AOV needs them."""
     f32 = jnp.float32
     big = f32(3.0e38)
     eps = f32(1e-6)
@@ -132,18 +141,20 @@ def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, tpad):
                  & (u + v <= 1.0) & (th >= eps))
         th = jnp.where(valid, th, big)
         better = th < bt
-        # Interpolated attributes (glsl:186-187), unnormalized like the
-        # reference.
-        w = f32(1.0) - u - v
-        nx = u * blk[_NB, t] + v * blk[_NC, t] + w * blk[_NA, t]
-        ny = u * blk[_NB + 1, t] + v * blk[_NC + 1, t] + w * blk[_NA + 1, t]
-        nz = u * blk[_NB + 2, t] + v * blk[_NC + 2, t] + w * blk[_NA + 2, t]
-        tu = u * blk[_TB, t] + v * blk[_TC, t] + w * blk[_TA, t]
-        tv = u * blk[_TB + 1, t] + v * blk[_TC + 1, t] + w * blk[_TA + 1, t]
+        # Interpolated attributes (glsl:186-187) in affine form, unnormalized
+        # like the reference: attr = base + u*db + v*dc.
+        nx = blk[_NA, t] + u * blk[_DNB, t] + v * blk[_DNC, t]
+        ny = blk[_NA + 1, t] + u * blk[_DNB + 1, t] + v * blk[_DNC + 1, t]
+        nz = blk[_NA + 2, t] + u * blk[_DNB + 2, t] + v * blk[_DNC + 2, t]
+        if want_texcoords:
+            tu = blk[_TA, t] + u * blk[_DTB, t] + v * blk[_DTC, t]
+            tv = blk[_TA + 1, t] + u * blk[_DTB + 1, t] + v * blk[_DTC + 1, t]
+            btu = jnp.where(better, tu, btu)
+            btv = jnp.where(better, tv, btv)
         return (jnp.where(better, th, bt), jnp.where(better, u, bu),
                 jnp.where(better, v, bv), jnp.where(better, nx, bnx),
                 jnp.where(better, ny, bny), jnp.where(better, nz, bnz),
-                jnp.where(better, tu, btu), jnp.where(better, tv, btv),
+                btu, btv,
                 jnp.where(better, jnp.int32(m), bmesh))
 
     return jax.lax.fori_loop(0, tpad, tri, carry)
@@ -151,12 +162,13 @@ def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, tpad):
 
 def _kernel(cfg, mesh_count, tpad, *refs):
     if cfg.rng == "threefry":
-        (sched_ref, cam_ref, bcx_ref, bcy_ref, bcz_ref, br2_ref, blocks_hbm,
-         accum_in, _out_in, accum_out, out_out, smem_blk, dma_sem) = refs
+        (sched_ref, order_ref, cam_ref, bcx_ref, bcy_ref, bcz_ref, br2_ref,
+         blocks_hbm, accum_in, _out_in, accum_out, out_out,
+         smem_blk, dma_sem) = refs
         rng_in = rng_out = None
     else:
-        (sched_ref, cam_ref, bcx_ref, bcy_ref, bcz_ref, br2_ref, blocks_hbm,
-         accum_in, _out_in, rng_in, accum_out, out_out, rng_out,
+        (sched_ref, order_ref, cam_ref, bcx_ref, bcy_ref, bcz_ref, br2_ref,
+         blocks_hbm, accum_in, _out_in, rng_in, accum_out, out_out, rng_out,
          smem_blk, dma_sem) = refs
 
     f32 = jnp.float32
@@ -175,7 +187,10 @@ def _kernel(cfg, mesh_count, tpad, *refs):
         init = (jnp.full(shape, big, f32), zero, zero, zero, zero, zero,
                 zero, zero, jnp.full(shape, -1, jnp.int32))
 
-        def per_mesh(m, carry):
+        def per_mesh(j, carry):
+            # Walk meshes front-to-back (camera-distance order computed per
+            # step): the running best_t then rejects most far bounds.
+            m = order_ref[j]
             lower = _bound_lower_t(ox, oy, oz, dx, dy, dz, bcx_ref[m],
                                    bcy_ref[m], bcz_ref[m], br2_ref[m])
             # Exact-conservative cull: the mesh can matter only for lanes
@@ -188,7 +203,8 @@ def _kernel(cfg, mesh_count, tpad, *refs):
                 dma.start()
                 dma.wait()
                 return _sweep_mesh(smem_blk, m, carry, ox, oy, oz,
-                                   dx, dy, dz, tpad)
+                                   dx, dy, dz, tpad,
+                                   cfg.aov in ("tex_coords",))
 
             return jax.lax.cond(needed, sweep, lambda c: c, carry)
 
@@ -238,7 +254,7 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array):
     def tile_map(planes):
         return pl.BlockSpec(
             (planes, th, tw),
-            lambda i, sched: (0, sched[i, 1], sched[i, 0]),
+            lambda i, sched, order: (0, sched[i, 1], sched[i, 0]),
             memory_space=pltpu.VMEM)
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -249,15 +265,15 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array):
     out_specs = [tile_map(4), tile_map(3)]
     out_shape = [jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
                  jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)]
-    aliases = {7: 0, 8: 1}  # indices include the scalar-prefetch schedule
+    aliases = {8: 0, 9: 1}  # indices include the 2 scalar-prefetch operands
     if stateful:
         in_specs.append(tile_map(rng_planes))
         out_specs.append(tile_map(rng_planes))
         out_shape.append(jax.ShapeDtypeStruct((rng_planes, hp, wp), jnp.uint32))
-        aliases[9] = 2
+        aliases[10] = 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(k,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -276,8 +292,16 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array):
     )
 
     def step(state: FrameState, camera) -> FrameState:
+        camera = jnp.asarray(camera, jnp.float32)
         sched = scheduled_tiles(tile_array, state.tile_offset, k)
-        args = [sched, jnp.asarray(camera, jnp.float32), *bounds, blocks,
+        # Front-to-back mesh order for this camera (distance to bound
+        # centers minus radius, ascending).
+        from l2n_tpu.camera.camera import ROW_POSITION
+        pos = camera[ROW_POSITION]
+        d = jnp.sqrt((bounds[0] - pos[0]) ** 2 + (bounds[1] - pos[1]) ** 2
+                     + (bounds[2] - pos[2]) ** 2) - jnp.sqrt(bounds[3])
+        order = jnp.argsort(d).astype(jnp.int32)
+        args = [sched, order, camera, *bounds, blocks,
                 state.accum, state.output]
         if stateful:
             args.append(state.rng_state)

@@ -223,9 +223,16 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
             # survivors cast one more scene ray (the primary cast is always 1).
             stats.setdefault("survive_fraction", []).append(
                 jnp.mean(survive.astype(f32)))
-        new = intersect(ox + f32(cfg.ray_epsilon) * dx,
-                        oy + f32(cfg.ray_epsilon) * dy,
-                        oz + f32(cfg.ray_epsilon) * dz, dx, dy, dz)
+        # Dead lanes cast from a far-away origin so block-level culls (mesh
+        # bounds) are not kept alive by results nobody will merge. 3e30 makes
+        # squared-distance terms overflow, NaN-poisoning those lanes' bound
+        # and candidate tests outright (NaN compares false everywhere).
+        far = f32(3.0e30)
+        new = intersect(
+            jnp.where(survive, ox + f32(cfg.ray_epsilon) * dx, far),
+            jnp.where(survive, oy + f32(cfg.ray_epsilon) * dy, far),
+            jnp.where(survive, oz + f32(cfg.ray_epsilon) * dz, far),
+            dx, dy, dz)
         dist = jnp.where(survive, new.t, dist)
         cur_t = jnp.where(survive, new.t, cur_t)
         nx = jnp.where(survive, new.nx, nx)
