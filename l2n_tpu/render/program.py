@@ -18,11 +18,14 @@ from l2n_tpu.scene.tessellate import TriangleScene, build_triangle_scene
 
 
 class PathtracingProgram:
-    """Base: owns the config, the scene and the compiled step."""
+    """Base: owns the config, the scene, the compiled step and the
+    material/light buffers (declared-but-unused in the reference's shading,
+    bound by its base program at src/main.cpp:675-693 — mirrored here)."""
 
     name = "basePT"
 
-    def __init__(self, cfg: RenderConfig, scene, backend: str = "auto"):
+    def __init__(self, cfg: RenderConfig, scene, backend: str = "auto",
+                 materials=None, point_lights=None, directional_lights=None):
         if backend == "auto":
             import jax
             from l2n_tpu.ops.kernels import KERNELS
@@ -31,6 +34,14 @@ class PathtracingProgram:
         self.cfg = cfg.validate()
         self.scene = scene
         self.backend = backend
+        from l2n_tpu.scene.materials import empty_lights
+        default_mats, default_pl, default_dl = empty_lights()
+        self.materials = materials if materials is not None else default_mats
+        self.point_lights = (point_lights if point_lights is not None
+                             else default_pl)
+        self.directional_lights = (directional_lights
+                                   if directional_lights is not None
+                                   else default_dl)
         self.step = build_render_step(cfg, scene, backend=backend)
 
     def __repr__(self) -> str:  # pragma: no cover
@@ -43,12 +54,12 @@ class SphereProgram(PathtracingProgram):
     name = "spherePT"
 
     def __init__(self, cfg: RenderConfig, scene: SphereScene | None = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", **kw):
         cfg = cfg.replace(scene_kind="sphere")
         if scene is None:
             scene = compute_spheres(cfg.sphere_count, cfg.world_size,
                                     cfg.scene_seed)
-        super().__init__(cfg, scene, backend)
+        super().__init__(cfg, scene, backend, **kw)
 
 
 class TriangleProgram(PathtracingProgram):
@@ -58,10 +69,10 @@ class TriangleProgram(PathtracingProgram):
     name = "trianglePT"
 
     def __init__(self, cfg: RenderConfig, scene: TriangleScene | None = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", **kw):
         cfg = cfg.replace(scene_kind="triangle")
         if scene is None:
             spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
                                       cfg.scene_seed)
             scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
-        super().__init__(cfg, scene, backend)
+        super().__init__(cfg, scene, backend, **kw)

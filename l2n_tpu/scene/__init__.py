@@ -12,3 +12,9 @@ from l2n_tpu.scene.tessellate import (  # noqa: F401
     tessellate_sphere_info,
     build_triangle_scene,
 )
+from l2n_tpu.scene.materials import (  # noqa: F401
+    DirectionalLights,
+    PhongMaterials,
+    PointLights,
+    empty_lights,
+)

@@ -89,3 +89,31 @@ class TestTessellation:
         v = np.asarray(ts.vertices)
         np.testing.assert_allclose(
             np.asarray(soup["e1x"])[0], (v[tri0[1]] - v[tri0[0]])[0], atol=1e-6)
+
+
+class TestMaterialsAndLights:
+    """Declared-but-unused-in-shading parity surface (glsl:9-38,52-69)."""
+
+    def test_structures(self):
+        import numpy as np
+        from l2n_tpu.scene import (DirectionalLights, PhongMaterials,
+                                   PointLights, empty_lights)
+        mats = PhongMaterials.from_arrays(
+            np.ones((3, 4)), np.zeros((3, 3)), np.full(3, 32.0))
+        assert mats.count == 3
+        assert float(mats.shininess[0]) == 32.0
+        pl = PointLights.from_arrays([[0, 1, 2]], [[5, 5, 5]])
+        assert pl.count == 1 and float(pl.z[0]) == 2.0
+        dl = DirectionalLights.from_arrays([[0, -1, 0]], [[1, 1, 1]])
+        assert dl.count == 1
+        m0, p0, d0 = empty_lights()
+        assert m0.count == p0.count == d0.count == 0
+
+    def test_programs_carry_buffers(self):
+        from l2n_tpu.config import RenderConfig
+        from l2n_tpu.render.program import SphereProgram
+        cfg = RenderConfig(width=128, height=32, tile_width=128,
+                           tile_height=32, sphere_count=4)
+        prog = SphereProgram(cfg, backend="xla")
+        assert prog.materials.count == 0  # reference default: empty buffers
+        assert prog.point_lights.count == 0
