@@ -1,0 +1,88 @@
+"""Golden-image regression: every implementation must keep producing the
+same picture (fixed seeds, 256x128, 4 full-frame samples).
+
+The golden accumulation was rendered by the XLA oracle; any semantic drift
+in sampling, intersection, shading or scheduling across rounds shows up
+here before it shows up in a judge's eye.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from l2n_tpu.camera import Camera
+from l2n_tpu.config import RenderConfig
+from l2n_tpu.render.state import init_frame_state
+from l2n_tpu.render.step import build_render_step
+from l2n_tpu.render.tiles import tile_grid
+from l2n_tpu.scene import compute_spheres
+
+GOLDEN_PATH = Path(__file__).parent / "golden" / "sphere_pt_256x128_4spp.npz"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with np.load(GOLDEN_PATH) as data:
+        cfg = RenderConfig.from_json(bytes(data["config"]).decode())
+        return cfg, data["accum"]
+
+
+def render(cfg, backend):
+    scene = compute_spheres(cfg.sphere_count, cfg.world_size, cfg.scene_seed)
+    step = build_render_step(cfg, scene, backend=backend)
+    st = init_frame_state(cfg)
+    cam = Camera.from_config(cfg).packed()
+    for _ in range(4):
+        st = step(st, cam)
+    return np.asarray(st.accum)
+
+
+class TestGoldenRender:
+    def test_xla_oracle_bit_stable(self, golden):
+        cfg, want = golden
+        got = render(cfg, "xla")
+        np.testing.assert_array_equal(got[3], want[3])
+        d = np.abs(got - want)
+        # Same backend, same seeds: tiny fp drift at most (XLA version/fusion
+        # changes may wiggle decision boundaries).
+        assert (d > 1e-3).mean() < 1e-3
+        assert np.sqrt((d ** 2).mean()) < 1e-3
+
+    def test_pallas_matches_golden(self, golden):
+        """Cross-implementation gate: fp decision-boundary flips (compiled
+        FMA fusion vs interpret) touch ~1% of values on this scene; a
+        semantic bug (draw mapping, emissive rule, scheduling) moves the
+        whole image. Gates sit between the two."""
+        cfg, want = golden
+        got = render(cfg, "pallas")
+        np.testing.assert_array_equal(got[3], want[3])
+        d = np.abs(got - want)
+        assert (d > 1e-3).mean() < 0.03
+        mean_diff = np.abs(got[:3] / np.maximum(got[3], 1)
+                           - want[:3] / np.maximum(want[3], 1))
+        assert np.sqrt((mean_diff ** 2).mean()) < 0.03
+
+    def test_native_matches_golden(self, golden):
+        import l2n_tpu.native as native
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        from l2n_tpu.native import NativeRenderer
+        cfg, want = golden
+        scene = compute_spheres(cfg.sphere_count, cfg.world_size,
+                                cfg.scene_seed)
+        nr = NativeRenderer(cfg, scene.as_numpy(), tile_grid(cfg))
+        st = init_frame_state(cfg)
+        accum = np.asarray(st.accum).copy()
+        output = np.asarray(st.output).copy()
+        cam = Camera.from_config(cfg).packed()
+        k = cfg.effective_tiles_per_step
+        for i in range(4):
+            nr.render_tiles(accum, output, cam,
+                            offset=(i * k) % cfg.tile_count, count=k)
+        np.testing.assert_array_equal(accum[3], want[3])
+        d = np.abs(accum - want)
+        assert (d > 1e-3).mean() < 0.03
+        mean_diff = np.abs(accum[:3] / np.maximum(accum[3], 1)
+                           - want[:3] / np.maximum(want[3], 1))
+        assert np.sqrt((mean_diff ** 2).mean()) < 0.03
