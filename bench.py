@@ -20,7 +20,6 @@ import json
 import sys
 import time
 
-import numpy as np
 
 
 def log(*args):
@@ -100,6 +99,23 @@ def main() -> None:
     mean_segments = measure_mean_segments(cfg, scene, camera)
     mrays_per_sec = samples_per_sec * mean_segments / 1e6
 
+    # Secondary metric: the triangle-scene kernel (the reference's second
+    # renderer; 128 meshes x 256 triangles).
+    triangle_ms = None
+    if on_tpu:
+        from l2n_tpu.render.program import TriangleProgram
+        tri_cfg = cfg.replace(scene_kind="triangle", spp_per_step=1)
+        tri = TriangleProgram(tri_cfg, backend=backend)
+        tri_state = init_frame_state(tri_cfg)
+        tri_state = tri.step(tri_state, camera.packed())
+        tri_state.output.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(5):
+            tri_state = tri.step(tri_state, camera.packed())
+        tri_state.output.block_until_ready()
+        triangle_ms = (time.perf_counter() - t0) / 5 * 1e3
+        log(f"triangle scene: {triangle_ms:.1f} ms per full-frame spp")
+
     log(f"{dt * 1e3:.2f} ms/step, {samples_per_sec / 1e6:.1f} Msamples/s, "
         f"{spp_per_sec:.1f} spp/s, mean segments/sample {mean_segments:.3f}")
     log(f"=> {mrays_per_sec:.1f} Mrays/s (north star 1000)")
@@ -116,6 +132,8 @@ def main() -> None:
             "mean_segments_per_sample": round(mean_segments, 4),
             "ms_per_full_frame_spp": round(dt * 1e3 * (cfg.width * cfg.height)
                                            / pixels_per_step, 3),
+            "triangle_ms_per_full_frame_spp": (round(triangle_ms, 1)
+                                               if triangle_ms else None),
             "backend": backend,
         },
     }

@@ -19,7 +19,6 @@ independent-pixel design (SURVEY §5 "distributed communication backend").
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import numpy as np
 import jax

@@ -21,14 +21,13 @@ import dataclasses
 from functools import partial
 
 import jax
-import numpy as np
 import jax.numpy as jnp
 
 from l2n_tpu.config import RenderConfig
 from l2n_tpu.ops.pathtrace import generate_rays, shade
 from l2n_tpu.ops.scenes import sphere_intersector, triangle_intersector
 from l2n_tpu.render.state import FrameState
-from l2n_tpu.render.tiles import advance_offset, scheduled_pixel_mask, tile_grid
+from l2n_tpu.render.tiles import scheduled_pixel_mask, tile_grid
 from l2n_tpu.rng.sampler import (
     MaskedSampler,
     TausLCGSampler,

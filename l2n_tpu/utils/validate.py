@@ -22,7 +22,6 @@ import dataclasses
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
