@@ -33,7 +33,7 @@ def measure_mean_segments(cfg, scene, camera) -> float:
     from l2n_tpu.render.step import make_intersector
     from l2n_tpu.rng.sampler import ThreefrySampler, max_pairs_per_sample
 
-    intersect, _ = make_intersector(cfg, scene)
+    intersect, _, _ = make_intersector(cfg, scene)
     h, w = 256, 256  # statistics resolution (fractions converge fast)
     py, px = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.int32) * (cfg.height // h),

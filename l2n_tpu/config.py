@@ -69,6 +69,11 @@ class RenderConfig:
     ray_epsilon: float = 0.01     # bounce-origin offset (glsl:305)
     env_mode: str = "mandelbrot"  # "mandelbrot" (GPU, glsl:313) | "sun" (CPU, main.cpp:445) | "none"
     env_scale: float = 3.0        # glsl:314
+    # Next event estimation (reference TODO.md wishlist): sample a point on
+    # an emissive sphere at every diffuse vertex and cast a shadow ray;
+    # indirect BSDF emission hits are suppressed (unbiased, no MIS). Sphere
+    # scenes with the threefry sampler only.
+    nee: bool = False
 
     # Scene ------------------------------------------------------------------
     scene_kind: str = "sphere"    # "sphere" | "triangle" (renderer combo, main.cpp:976)
@@ -158,6 +163,10 @@ class RenderConfig:
             raise ValueError(f"unknown env_mode {self.env_mode!r}")
         if self.ray_gen not in ("fovy", "viewproj"):
             raise ValueError(f"unknown ray_gen {self.ray_gen!r}")
+        if self.nee and (self.scene_kind != "sphere"
+                         or self.rng != "threefry"):
+            raise ValueError(
+                "nee requires the sphere scene and the threefry sampler")
         if self.aov not in ("pathtracing", "normal", "ambient_occlusion",
                             "hit", "tex_coords", "param_uv"):
             raise ValueError(f"unknown aov {self.aov!r}")

@@ -39,7 +39,8 @@ def make_kernel_sampler(cfg, pixel_index, sample_index, rng_in_ref,
     """
     if cfg.rng == "threefry":
         sampler = ThreefrySampler(cfg.seed, stream, pixel_index, sample_index,
-                                  max_pairs_per_sample(cfg.max_bounces))
+                                  max_pairs_per_sample(cfg.max_bounces,
+                                                       cfg.nee))
         return sampler, lambda: None
     if cfg.rng == "tinymt":
         words = tuple(rng_in_ref[i] for i in range(7))

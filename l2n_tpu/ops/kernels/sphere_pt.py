@@ -209,6 +209,12 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
     else:
         intersect_primary = intersect
 
+    light_sampler = None
+    if cfg.nee:
+        from l2n_tpu.ops.nee import make_sphere_light_sampler
+        light_sampler = make_sphere_light_sampler(
+            n_spheres, cfg.emissive_every, fetch)
+
     # Sample loop: several samples per pixel per scheduled tile amortize the
     # per-tile fixed costs (block DMA, tonemap, grid step).
     sum_r = sum_g = sum_b = jnp.zeros((cfg.tile_height, cfg.tile_width), f32)
@@ -222,7 +228,8 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
                              u1, u2)
         r, g, b = shade(cfg, intersect, sampler, *rays,
                         skip_empty=cfg.skip_empty_tiles,
-                        intersect_primary=intersect_primary)
+                        intersect_primary=intersect_primary,
+                        light_sampler=light_sampler)
         sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
         if cfg.rng != "threefry" and s + 1 < cfg.spp_per_step:
             # Stateful modes must chain states across sub-samples.

@@ -131,7 +131,8 @@ def generate_rays(cfg, cam, px, py, u1, u2):
 
 def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
                skip_empty: bool = False, stats: dict | None = None,
-               intersect_primary: IntersectFn | None = None):
+               intersect_primary: IntersectFn | None = None,
+               light_sampler=None):
     """Trace one sample per lane; returns (r, g, b).
 
     Exact mask translation of sphere_pathtracing.cs.glsl:272-317 — see the
@@ -154,6 +155,7 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
     ox = jnp.broadcast_to(ox, shape)
     oy = jnp.broadcast_to(oy, shape)
     oz = jnp.broadcast_to(oz, shape)
+    use_nee = cfg.nee and light_sampler is not None
     carry = (
         ox, oy, oz, dx, dy, dz,
         jnp.ones(shape, f32), jnp.ones(shape, f32), jnp.ones(shape, f32),
@@ -161,12 +163,16 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
         hit.t,  # dist: tri-state sentinel (>=0 hit, -1 miss, -2 terminated)
         hit.t,  # cur_t: geometric t of the current hit (never -2)
         hit.nx, hit.ny, hit.nz, hit.index, hit.emis_r2,
+        # emission_ok: under NEE, emission is only collected on camera-direct
+        # hits; every diffuse vertex accounts for lights explicitly (int32
+        # mask — boolean vectors break Mosaic loop/branch legalization).
+        jnp.ones(shape, jnp.int32),
     )
     use_cond = skip_empty and not getattr(sampler, "stateful", False)
 
     def bounce(carry):
         (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b, col_r, col_g, col_b,
-         dist, cur_t, nx, ny, nz, index, emis_r2) = carry
+         dist, cur_t, nx, ny, nz, index, emis_r2, emission_ok) = carry
         active = dist >= 0.0  # while (dist >= 0.0 && pathLength <= 1), glsl:280
         emissive = active & (index % cfg.emissive_every == 0)  # glsl:285
         diffuse = active & ~emissive
@@ -175,9 +181,10 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
         # (glsl:286-290). Guard r2 on lanes where it's meaningless.
         emit = f32(cfg.emission_scale) / (f32(4.0 * PI) *
                                           jnp.maximum(emis_r2, f32(1e-20)))
-        col_r = jnp.where(emissive, col_r + tp_r * emit, col_r)
-        col_g = jnp.where(emissive, col_g + tp_g * emit, col_g)
-        col_b = jnp.where(emissive, col_b + tp_b * emit, col_b)
+        add_emission = emissive & (emission_ok == 1) if use_nee else emissive
+        col_r = jnp.where(add_emission, col_r + tp_r * emit, col_r)
+        col_g = jnp.where(add_emission, col_g + tp_g * emit, col_g)
+        col_b = jnp.where(add_emission, col_b + tp_b * emit, col_b)
         dist = jnp.where(emissive, f32(-2.0), dist)
 
         # Diffuse bounce (glsl:292-300): move to the hit point, cosine-sample
@@ -194,6 +201,22 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
         wdx, wdy, wdz = normalize3(wdx, wdy, wdz)
 
         kd_r, kd_g, kd_b = procedural_color(index)
+
+        if use_nee:
+            # Direct light sampling at this diffuse vertex (uses the
+            # pre-multiplication throughput and the vertex albedo).
+            from l2n_tpu.ops.nee import nee_contribution
+            u_pick = sampler.draw1(mask=diffuse)
+            ul1, ul2 = sampler.draw2(mask=diffuse)
+            light = light_sampler(u_pick, ul1, ul2)
+            dr, dg, db = nee_contribution(
+                cfg, light_sampler.n_lights, intersect, light,
+                hx, hy, hz, nx, ny, nz, kd_r, kd_g, kd_b, tp_r, tp_g, tp_b)
+            col_r = jnp.where(diffuse, col_r + dr, col_r)
+            col_g = jnp.where(diffuse, col_g + dg, col_g)
+            col_b = jnp.where(diffuse, col_b + db, col_b)
+            emission_ok = jnp.where(diffuse, 0, emission_ok)
+
         ox = jnp.where(diffuse, hx, ox)
         oy = jnp.where(diffuse, hy, oy)
         oz = jnp.where(diffuse, hz, oz)
@@ -241,7 +264,8 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
         index = jnp.where(survive, new.index, index)
         emis_r2 = jnp.where(survive, new.emis_r2, emis_r2)
         return (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
-                col_r, col_g, col_b, dist, cur_t, nx, ny, nz, index, emis_r2)
+                col_r, col_g, col_b, dist, cur_t, nx, ny, nz, index, emis_r2,
+                emission_ok)
 
     for _ in range(cfg.max_bounces):
         if use_cond:
@@ -251,7 +275,7 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
             carry = bounce(carry)
 
     (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b, col_r, col_g, col_b,
-     dist, cur_t, nx, ny, nz, index, emis_r2) = carry
+     dist, cur_t, nx, ny, nz, index, emis_r2, emission_ok) = carry
 
     # Environment (glsl:312-314): only lanes whose final cast missed
     # (dist == -1 exactly; -2 lanes were terminated) and that did not end on
@@ -345,7 +369,7 @@ def aov_param_uv(intersect, ox, oy, oz, dx, dy, dz):
 
 def shade(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
           miss_color=(0.0, 0.0, 0.0), skip_empty: bool = False,
-          intersect_primary: IntersectFn | None = None):
+          intersect_primary: IntersectFn | None = None, light_sampler=None):
     """Dispatch on cfg.aov (static). `intersect_primary` (optional) is a
     sweep specialized for the camera cast; AOVs are all primary-only except
     the second AO ray."""
@@ -353,7 +377,8 @@ def shade(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
     if cfg.aov == "pathtracing":
         return trace_path(cfg, intersect, sampler, ox, oy, oz, dx, dy, dz,
                           skip_empty=skip_empty,
-                          intersect_primary=intersect_primary)
+                          intersect_primary=intersect_primary,
+                          light_sampler=light_sampler)
     if cfg.aov == "normal":
         return aov_normal(primary, ox, oy, oz, dx, dy, dz, miss_color)
     if cfg.aov == "hit":

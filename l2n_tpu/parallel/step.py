@@ -87,7 +87,7 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
         backend = "pallas" if cfg.scene_kind in KERNELS \
             and cfg.scene_kind == "sphere" and cfg.rng == "threefry" else "xla"
     n_tile = mesh.shape["tile"]
-    intersect, miss_color = make_intersector(cfg, scene)
+    intersect, miss_color, light_sampler = make_intersector(cfg, scene)
     tile_grids = jnp.asarray(slab_tile_grids(cfg, n_tile))
     k = cfg.effective_tiles_per_step
     rows_per_slab = cfg.padded_height // n_tile
@@ -139,7 +139,7 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
         else:
             new = _xla_step(cfg, intersect, miss_color, tiles_l[0], local,
                             camera, row_offset=tile_rank * rows_per_slab,
-                            stream=stream)
+                            stream=stream, light_sampler=light_sampler)
         # Fold the sample axis (the one collective) and re-tonemap scheduled
         # pixels so the display uses all n_sample estimates.
         folded = jax.lax.psum(new.accum, "sample")

@@ -45,7 +45,8 @@ def make_sampler(cfg: RenderConfig, state: FrameState, pixel_index,
     `stream` decorrelates sample-axis replicas under multi-chip sharding."""
     if cfg.rng == "threefry":
         inner = ThreefrySampler(cfg.seed, stream, pixel_index, sample_index,
-                                max_pairs_per_sample(cfg.max_bounces))
+                                max_pairs_per_sample(cfg.max_bounces,
+                                                     cfg.nee))
     elif cfg.rng == "tinymt":
         words = tuple(state.rng_state[i] for i in range(7))
         inner = TinyMTSampler(words[:4], words[4:7])
@@ -72,7 +73,7 @@ def merge_rng_state(cfg: RenderConfig, state: FrameState, sampler,
 
 def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
               state: FrameState, camera: jnp.ndarray,
-              row_offset=0, stream=0) -> FrameState:
+              row_offset=0, stream=0, light_sampler=None) -> FrameState:
     """One full-frame oracle step. `row_offset`/`stream` support multi-chip
     slab sharding: the state covers rows [row_offset, row_offset + h) of the
     global framebuffer and `stream` keys this device's sample-axis replica."""
@@ -98,7 +99,8 @@ def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
         u1, u2 = sampler.draw2()  # pixel jitter (glsl:371)
         rays = generate_rays(cfg, camera, px.astype(jnp.float32),
                              py.astype(jnp.float32), u1, u2)
-        r, g, b = shade(cfg, intersect, sampler, *rays, miss_color=miss_color)
+        r, g, b = shade(cfg, intersect, sampler, *rays, miss_color=miss_color,
+                        light_sampler=light_sampler)
         sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
         work = dataclasses.replace(
             work, rng_state=merge_rng_state(cfg, work, sampler, mask))
@@ -125,16 +127,25 @@ def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
 
 
 def make_intersector(cfg: RenderConfig, scene):
-    """(intersect closure, AOV miss color) for a scene pytree."""
+    """(intersect closure, AOV miss color, light sampler or None) for a
+    scene pytree."""
     if cfg.scene_kind == "sphere":
         if not isinstance(scene, SphereScene):
             raise TypeError("sphere config needs a SphereScene")
+        light_sampler = None
+        if cfg.nee:
+            from l2n_tpu.ops.nee import make_sphere_light_sampler
+            cx, cy, cz, r2 = (scene.center_x, scene.center_y,
+                              scene.center_z, scene.sqr_radius)
+            light_sampler = make_sphere_light_sampler(
+                scene.count, cfg.emissive_every,
+                lambda i: (cx[i], cy[i], cz[i], r2[i]))
         # sphere normal AOV misses to black (glsl:350)
-        return sphere_intersector(scene), (0.0, 0.0, 0.0)
+        return sphere_intersector(scene), (0.0, 0.0, 0.0), light_sampler
     if not isinstance(scene, TriangleScene):
         raise TypeError("triangle config needs a TriangleScene")
     # triangle AOVs miss to magenta (triangle_pathtracing.cs.glsl:340)
-    return triangle_intersector(scene.soup()), (1.0, 0.0, 1.0)
+    return triangle_intersector(scene.soup()), (1.0, 0.0, 1.0), None
 
 
 def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
@@ -147,10 +158,11 @@ def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
     """
     cfg.validate()
     tile_array = jnp.asarray(tile_grid(cfg))
-    intersect, miss_color = make_intersector(cfg, scene)
+    intersect, miss_color, light_sampler = make_intersector(cfg, scene)
 
     if backend == "xla":
-        fn = partial(_xla_step, cfg, intersect, miss_color, tile_array)
+        fn = partial(_xla_step, cfg, intersect, miss_color, tile_array,
+                     light_sampler=light_sampler)
     elif backend == "pallas":
         from l2n_tpu.ops.kernels import build_pallas_step
         fn = build_pallas_step(cfg, scene, tile_array)

@@ -148,8 +148,9 @@ class MaskedSampler:
         return self._inner.final_state()
 
 
-def max_pairs_per_sample(max_bounces: int) -> int:
+def max_pairs_per_sample(max_bounces: int, nee: bool = False) -> int:
     """Static threefry draw budget: 1 pair of pixel jitter + per bounce one
     hemisphere pair and one RR pair (the RR draw wastes its sibling), with
-    one spare pair for AOV modes (ambient occlusion)."""
-    return 2 + 2 * max_bounces
+    one spare pair for AOV modes (ambient occlusion). NEE adds a light pick
+    plus a surface-point pair per bounce."""
+    return 2 + (4 if nee else 2) * max_bounces

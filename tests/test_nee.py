@@ -1,0 +1,115 @@
+"""Next event estimation tests (reference TODO.md wishlist item).
+
+Validation against an analytically solvable configuration: a spherical
+light of radius r at distance d directly above a Lambertian surface point
+with its normal toward the light gives outgoing radiance
+  L = albedo * Le * sin^2(alpha),  sin(alpha) = r/d
+(exact for the fully visible spherical cap under cosine weighting).
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from l2n_tpu.config import RenderConfig
+from l2n_tpu.maths.sampling import procedural_color
+from l2n_tpu.ops.nee import make_sphere_light_sampler
+from l2n_tpu.ops.pathtrace import trace_path
+from l2n_tpu.ops.scenes import sphere_intersector
+from l2n_tpu.rng.sampler import ThreefrySampler, max_pairs_per_sample
+from l2n_tpu.scene.spheres import SphereScene
+
+
+def make_scene():
+    # Light (index 0, emissive): r=2 at z=10. Ground: big sphere below whose
+    # top surface sits at z=-1 with normal +z.
+    data = np.array([[0, 0, 10, 2.0], [0, 0, -100, 99.0]], np.float32)
+    return SphereScene(center_x=jnp.asarray(data[:, 0]),
+                       center_y=jnp.asarray(data[:, 1]),
+                       center_z=jnp.asarray(data[:, 2]),
+                       sqr_radius=jnp.asarray(data[:, 3] ** 2))
+
+
+def estimate(nee: bool, bounces: int, n: int = 200_000, seed: int = 0):
+    scene = make_scene()
+    isect = sphere_intersector(scene)
+    cx, cy, cz, r2 = (scene.center_x, scene.center_y, scene.center_z,
+                      scene.sqr_radius)
+    ls = make_sphere_light_sampler(scene.count, 16,
+                                   lambda i: (cx[i], cy[i], cz[i], r2[i]))
+    cfg = RenderConfig(width=8, height=8, env_mode="none",
+                       max_bounces=bounces, nee=nee).validate()
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    z = jnp.zeros(n, jnp.float32)
+    sampler = ThreefrySampler(seed, 0, pix, jnp.zeros(n, jnp.uint32),
+                              max_pairs_per_sample(bounces, nee))
+    r, g, b = trace_path(cfg, isect, sampler, z, z,
+                         jnp.full(n, 3.0, jnp.float32), z, z,
+                         jnp.full(n, -1.0, jnp.float32),
+                         light_sampler=ls if nee else None)
+    return np.asarray(r)
+
+
+def analytic_direct():
+    le = 8192.0 / (4 * math.pi * 4.0)
+    kd = float(procedural_color(jnp.int32(1))[0])
+    return kd * le * (4.0 / 121.0)  # sin^2(alpha) = (r/d)^2
+
+
+class TestNEE:
+    def test_matches_analytic_direct(self):
+        got = estimate(nee=True, bounces=1).mean()
+        assert got == pytest.approx(analytic_direct(), rel=0.02)
+
+    def test_agrees_with_bsdf_estimator(self):
+        """Both estimators are unbiased for direct light; at depth high
+        enough for BSDF sampling to see the light, means agree."""
+        a = estimate(nee=False, bounces=6, n=400_000).mean()
+        b = estimate(nee=True, bounces=1, n=100_000).mean()
+        assert b == pytest.approx(a, rel=0.1)
+
+    def test_variance_reduction(self):
+        """The point of NEE: per-sample variance collapses (the light
+        subtends ~3% of the hemisphere, so BSDF sampling mostly misses)."""
+        a = estimate(nee=False, bounces=6, n=100_000)
+        b = estimate(nee=True, bounces=1, n=100_000)
+        assert b.std() < 0.25 * a.std()
+
+    def test_emission_not_double_counted(self):
+        """Indirect BSDF emission hits are suppressed under NEE: deepening
+        the path must not inflate direct lighting."""
+        shallow = estimate(nee=True, bounces=1, n=100_000).mean()
+        deep = estimate(nee=True, bounces=4, n=100_000).mean()
+        # Deep adds only interreflection (small here), never double emission.
+        assert deep == pytest.approx(shallow, rel=0.1)
+        assert deep >= shallow * 0.95
+
+    def test_kernel_parity_with_nee(self):
+        """Pallas kernel with NEE vs the oracle (interpret mode, CPU)."""
+        from l2n_tpu.camera import Camera
+        from l2n_tpu.render.program import SphereProgram
+        from l2n_tpu.render.state import init_frame_state
+        cfg = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=32, tiles_per_step=2,
+                           nee=True, env_mode="none").validate()
+        states = {}
+        for backend in ("xla", "pallas"):
+            prog = SphereProgram(cfg, backend=backend)
+            st = init_frame_state(cfg)
+            cam = Camera.from_config(cfg).packed()
+            for _ in range(2):
+                st = prog.step(st, cam)
+            states[backend] = np.asarray(st.accum)
+        d = np.abs(states["xla"] - states["pallas"])
+        # Shadow-ray visibility flips at sphere silhouettes add a little
+        # more fp-boundary noise than the emission-only path.
+        assert np.sqrt((d ** 2).mean()) < 5e-3
+        assert (d > 1e-3).mean() < 2e-3
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError):
+            RenderConfig(nee=True, scene_kind="triangle").validate()
+        with pytest.raises(ValueError):
+            RenderConfig(nee=True, rng="tinymt").validate()

@@ -117,3 +117,60 @@ class TestMaterialsAndLights:
         prog = SphereProgram(cfg, backend="xla")
         assert prog.materials.count == 0  # reference default: empty buffers
         assert prog.point_lights.count == 0
+
+
+class TestObjLoading:
+    """OBJ import (reference TODO.md wishlist item, implemented here)."""
+
+    CUBE = """
+# unit cube, two groups
+o front
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vn 0 0 -1
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+f 1/1/1 2/2/1 3/3/1 4/4/1
+o back
+v 0 0 1
+v 1 0 1
+v 1 1 1
+v 0 1 1
+f -4 -3 -2 -1
+"""
+
+    def test_parse_groups_and_fans(self):
+        from l2n_tpu.scene.obj import load_obj
+        import numpy as np
+        scene = load_obj(self.CUBE)
+        assert scene.mesh_count == 2
+        # Quads fan-triangulate into 2 triangles each.
+        np.testing.assert_array_equal(np.asarray(scene.triangle_count), [2, 2])
+        np.testing.assert_array_equal(np.asarray(scene.index_offset), [0, 6])
+        # Normals: explicit for mesh 0, face normal fallback for mesh 1.
+        n = np.asarray(scene.normals)
+        tri0 = np.asarray(scene.indices[:3])
+        np.testing.assert_allclose(n[tri0[0]], [0, 0, -1], atol=1e-6)
+
+    def test_renders(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from l2n_tpu.scene.obj import load_obj
+        from l2n_tpu.ops.scenes import triangle_intersector
+        scene = load_obj(self.CUBE)
+        isect = triangle_intersector(scene.soup())
+        # Ray down +z through the front face center.
+        h = isect(*(jnp.float32(v) for v in (0.5, 0.5, -1, 0, 0, 1)))
+        assert float(h.t) > 0
+        assert int(h.index) == 0
+
+    def test_file_roundtrip(self, tmp_path):
+        from l2n_tpu.scene.obj import load_obj
+        p = tmp_path / "cube.obj"
+        p.write_text(self.CUBE)
+        scene = load_obj(p)
+        assert scene.total_triangles == 4
