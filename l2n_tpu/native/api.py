@@ -34,6 +34,7 @@ class _CConfig(ctypes.Structure):
         ("max_pairs", ctypes.c_int32),
         ("ray_gen", ctypes.c_int32),
         ("aov", ctypes.c_int32),
+        ("nee", ctypes.c_int32),
     ]
 
 
@@ -102,9 +103,10 @@ class NativeRenderer:
             gamma=cfg.gamma,
             rng_mode=_RNG_MODES[cfg.rng],
             seed=cfg.seed, stream=0,
-            max_pairs=max_pairs_per_sample(cfg.max_bounces),
+            max_pairs=max_pairs_per_sample(cfg.max_bounces, cfg.nee),
             ray_gen=_RAY_GEN[cfg.ray_gen],
             aov=_AOVS.get(cfg.aov, 0),
+            nee=int(cfg.nee),
         )
 
     def render_tiles(self, accum: np.ndarray, output: np.ndarray,

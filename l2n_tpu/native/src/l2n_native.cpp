@@ -131,6 +131,8 @@ struct Sampler {
   uint32_t seed, stream;
   uint32_t pixel, base;
   int pair;
+  bool has_spare = false;
+  float spare = 0.0f;
   // tinymt (borrowed pointer into the caller's state planes)
   TinyMT tm;
 
@@ -148,8 +150,16 @@ struct Sampler {
   }
   float draw1() {
     if (mode == 0) {
+      // Sibling caching mirrors the JAX ThreefrySampler: paired draw1 call
+      // sites share one threefry block (rng/sampler.py).
+      if (has_spare) {
+        has_spare = false;
+        return spare;
+      }
       float a, b;
       draw2(&a, &b);
+      spare = b;
+      has_spare = true;
       return a;
     }
     return tinymt_float_oo(&tm);
@@ -276,6 +286,7 @@ struct Config {
   int32_t max_pairs;
   int32_t ray_gen;  // 0 fovy, 1 viewproj
   int32_t aov;      // 0 pathtracing, 1 normal, 2 hit
+  int32_t nee;      // next event estimation (threefry only)
 };
 
 struct Hit {
@@ -313,16 +324,23 @@ inline Hit intersect_scene(const float* spheres, int n, V3 org, V3 dir) {
   return h;
 }
 
-// pathtracing with the GPU kernel's semantics (glsl:272-317).
+// pathtracing with the GPU kernel's semantics (glsl:272-317), plus optional
+// next event estimation mirroring l2n_tpu.ops.nee (same draw order as the
+// JAX trace_path: hemisphere pair, NEE pick, NEE point pair, RR spare).
 V3 trace_path(const Config& cfg, const float* spheres, int n, V3 org, V3 dir,
               Sampler* rng) {
+  const int n_lights =
+      (n + cfg.emissive_every - 1) / cfg.emissive_every;
   V3 tp{1, 1, 1}, col{0, 0, 0};
+  bool emission_ok = true;
   Hit h = intersect_scene(spheres, n, org, dir);
   float dist = h.t;
   for (int bounce = 0; bounce < cfg.max_bounces && dist >= 0.0f; ++bounce) {
     if (h.index % cfg.emissive_every == 0) {
-      float e = cfg.emission_scale / (4.0f * kPi * h.r2);
-      col = col + e * tp;
+      if (!cfg.nee || emission_ok) {
+        float e = cfg.emission_scale / (4.0f * kPi * h.r2);
+        col = col + e * tp;
+      }
       dist = -2.0f;
       break;
     }
@@ -332,10 +350,43 @@ V3 trace_path(const Config& cfg, const float* spheres, int n, V3 org, V3 dir,
     float u1, u2;
     rng->draw2(&u1, &u2);
     V3 l = cosine_hemisphere(u1, u2);
+    V3 kd = albedo_of(h.index);
+
+    if (cfg.nee) {
+      float u_pick = rng->draw1();
+      float ul1, ul2;
+      rng->draw2(&ul1, &ul2);
+      int pick = static_cast<int>(u_pick * n_lights);
+      if (pick >= n_lights) pick = n_lights - 1;
+      int li = pick * cfg.emissive_every;
+      V3 c{spheres[4 * li], spheres[4 * li + 1], spheres[4 * li + 2]};
+      float r = std::sqrt(spheres[4 * li + 3]);
+      float z = 1.0f - 2.0f * ul1;
+      float s = std::sqrt(z * z < 1.0f ? 1.0f - z * z : 0.0f);
+      float phi = 2.0f * kPi * ul2;
+      V3 nl{s * std::cos(phi), s * std::sin(phi), z};
+      V3 p = c + r * nl;
+      V3 to_l = p - org;
+      float d2 = dot(to_l, to_l);
+      float rdist = 1.0f / std::sqrt(d2 > 1e-20f ? d2 : 1e-20f);
+      V3 ldir = rdist * to_l;
+      float cos_s = dot(h.n, ldir);
+      float cos_l = -dot(nl, ldir);
+      if (cos_s > 0.0f && cos_l > 0.0f) {
+        Hit sh = intersect_scene(spheres, n,
+                                 org + cfg.ray_epsilon * ldir, ldir);
+        if (sh.index == li) {
+          float w = cfg.emission_scale * n_lights / kPi * cos_s * cos_l /
+                    (d2 > 1e-20f ? d2 : 1e-20f);
+          col = col + V3{tp.x * kd.x * w, tp.y * kd.y * w, tp.z * kd.z * w};
+        }
+      }
+      emission_ok = false;
+    }
+
     dir = normalize(V3{t.x * l.x + b.x * l.y + h.n.x * l.z,
                        t.y * l.x + b.y * l.y + h.n.y * l.z,
                        t.z * l.x + b.z * l.y + h.n.z * l.z});
-    V3 kd = albedo_of(h.index);
     tp = {tp.x * kd.x, tp.y * kd.y, tp.z * kd.z};
     float rr = rng->draw1();
     float p = luminance(tp);

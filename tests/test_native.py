@@ -122,3 +122,45 @@ class TestNativeRenderer:
         a1, o1 = self.run_native(cfg, nr1)
         a2, o2 = self.run_native(cfg, nr2)
         np.testing.assert_array_equal(a1, a2)
+
+
+class TestNativeNEE:
+    def test_nee_matches_oracle(self):
+        """Triple-implementation coverage for NEE: native C++ vs the JAX
+        oracle with identical threefry draw addressing (including the
+        draw1 sibling-caching order)."""
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        from l2n_tpu.camera import Camera
+        from l2n_tpu.config import RenderConfig
+        from l2n_tpu.native import NativeRenderer
+        from l2n_tpu.render.state import init_frame_state
+        from l2n_tpu.render.step import build_render_step
+        from l2n_tpu.render.tiles import tile_grid
+        from l2n_tpu.scene import compute_spheres
+
+        cfg = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=32, tiles_per_step=2,
+                           nee=True, env_mode="none").validate()
+        scene = compute_spheres(cfg.sphere_count, cfg.world_size,
+                                cfg.scene_seed)
+        # oracle
+        step = build_render_step(cfg, scene, backend="xla")
+        st = init_frame_state(cfg)
+        cam = Camera.from_config(cfg).packed()
+        for _ in range(2):
+            st = step(st, cam)
+        oracle = np.asarray(st.accum)
+        # native
+        nr = NativeRenderer(cfg, scene.as_numpy(), tile_grid(cfg))
+        st0 = init_frame_state(cfg)
+        accum = np.asarray(st0.accum).copy()
+        output = np.asarray(st0.output).copy()
+        k = cfg.effective_tiles_per_step
+        for i in range(2):
+            nr.render_tiles(accum, output, cam,
+                            offset=(i * k) % cfg.tile_count, count=k)
+        np.testing.assert_array_equal(accum[3], oracle[3])
+        d = np.abs(accum - oracle)
+        assert np.sqrt((d ** 2).mean()) < 5e-3, d.max()
+        assert (d > 1e-3).mean() < 2e-3
