@@ -33,7 +33,7 @@ def measure_mean_segments(cfg, scene, camera) -> float:
     from l2n_tpu.render.step import make_intersector
     from l2n_tpu.rng.sampler import ThreefrySampler, max_pairs_per_sample
 
-    intersect, _, _ = make_intersector(cfg, scene)
+    intersect, _, _, _ = make_intersector(cfg, scene)
     h, w = 256, 256  # statistics resolution (fractions converge fast)
     py, px = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.int32) * (cfg.height // h),
@@ -61,9 +61,12 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
+        # Production config: the TPU hardware PRNG (rng="tpu_hw"). The
+        # threefry parity sampler's throughput is reported in detail below;
+        # all oracle-parity gates in tests/ run with threefry/tinymt.
         cfg = RenderConfig(width=1024, height=1024, tile_height=32,
                            tile_width=128, tiles_per_step=256,
-                           spp_per_step=4).validate()
+                           spp_per_step=4, rng="tpu_hw").validate()
         backend, frames = "pallas", 20
     else:  # CPU fallback so the harness always emits a result
         cfg = RenderConfig(width=256, height=256, tile_height=32,
@@ -98,6 +101,25 @@ def main() -> None:
 
     mean_segments = measure_mean_segments(cfg, scene, camera)
     mrays_per_sec = samples_per_sec * mean_segments / 1e6
+
+    # Secondary: the bit-parity-friendly threefry sampler's throughput
+    # (the default config; every oracle-parity gate runs with it).
+    threefry_ms = None
+    if on_tpu:
+        tf_prog = SphereProgram(cfg.replace(rng="threefry"), scene=scene,
+                                backend=backend)
+        tf_state = init_frame_state(cfg)
+        tf_state = tf_prog.step(tf_state, camera.packed())
+        tf_state.output.block_until_ready()
+        dt_tf = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(frames):
+                tf_state = tf_prog.step(tf_state, camera.packed())
+            tf_state.output.block_until_ready()
+            dt_tf = min(dt_tf, (time.perf_counter() - t0) / frames)
+        threefry_ms = dt_tf * 1e3
+        log(f"threefry sampler: {threefry_ms:.2f} ms/step")
 
     # Secondary metric: the triangle-scene kernel (the reference's second
     # renderer; 128 meshes x 256 triangles).
@@ -134,6 +156,9 @@ def main() -> None:
                                            / pixels_per_step, 3),
             "triangle_ms_per_full_frame_spp": (round(triangle_ms, 1)
                                                if triangle_ms else None),
+            "threefry_ms_per_step": (round(threefry_ms, 2)
+                                     if threefry_ms else None),
+            "rng": cfg.rng,
             "backend": backend,
         },
     }

@@ -94,6 +94,11 @@ class RenderConfig:
     #             (reference semantics, src/main.cpp:859-878).
     # "tauslcg":  combined Tausworthe/LCG (reference alt module,
     #             src/shaders/rand_TausLCG.cs.glsl — present but unused there too).
+    # "tpu_hw":   the TPU core's hardware PRNG (pltpu.prng_random_bits),
+    #             seeded per (tile, step, stream) — the fastest sampler; only
+    #             available in compiled Pallas kernels on a real TPU (no
+    #             oracle / interpret-mode analog, so parity vs the oracle is
+    #             statistical, not per-sample).
     rng: str = "threefry"
     seed: int = 0
 
@@ -113,6 +118,12 @@ class RenderConfig:
     gamma: float = 0.45           # pow(rgb/n, 0.45), glsl:392
 
     # ------------------------------------------------------------------------
+    @property
+    def rng_stateful(self) -> bool:
+        """True when the sampler carries per-pixel state planes (the
+        reference-parity modes); threefry/tpu_hw are stateless."""
+        return self.rng in ("tinymt", "tauslcg")
+
     @property
     def tan_half_fovy(self) -> float:
         return math.tan(0.5 * math.radians(self.fovy_deg))
@@ -157,16 +168,16 @@ class RenderConfig:
             raise ValueError("max_bounces must be >= 1")
         if self.scene_kind not in ("sphere", "triangle"):
             raise ValueError(f"unknown scene_kind {self.scene_kind!r}")
-        if self.rng not in ("threefry", "tinymt", "tauslcg"):
+        if self.rng not in ("threefry", "tinymt", "tauslcg", "tpu_hw"):
             raise ValueError(f"unknown rng {self.rng!r}")
         if self.env_mode not in ("mandelbrot", "sun", "none"):
             raise ValueError(f"unknown env_mode {self.env_mode!r}")
         if self.ray_gen not in ("fovy", "viewproj"):
             raise ValueError(f"unknown ray_gen {self.ray_gen!r}")
         if self.nee and (self.scene_kind != "sphere"
-                         or self.rng != "threefry"):
-            raise ValueError(
-                "nee requires the sphere scene and the threefry sampler")
+                         or self.rng not in ("threefry", "tpu_hw")):
+            raise ValueError("nee requires the sphere scene and a stateless "
+                             "sampler (threefry or tpu_hw)")
         if self.aov not in ("pathtracing", "normal", "ambient_occlusion",
                             "hit", "tex_coords", "param_uv"):
             raise ValueError(f"unknown aov {self.aov!r}")

@@ -40,37 +40,44 @@ def mandelbrot_le(dx, dy, dz):
     shape = jnp.shape(px)
     zx = jnp.zeros(shape, f32)
     zy = jnp.zeros(shape, f32)
-    # Escape iteration; MANDELBROT_ITERS means "not diverged (yet)". Kept as
-    # int32 — boolean vectors in fori_loop carries fail Mosaic legalization.
-    esc = jnp.full(shape, MANDELBROT_ITERS, jnp.int32)
+    # Branch-free escape counting: `still` is 1.0 until the lane's FIRST
+    # |z|^2 > 4 (matching the reference's `break` even if |z| later
+    # re-enters the disk), `cnt` accumulates iterations spent bounded, which
+    # equals the reference's escape index. Lanes keep iterating after
+    # escape; overflow to inf/NaN is harmless (NaN comparisons are false,
+    # so `ok` stays 0 and `still` is already latched at 0). This costs ~9
+    # vector ops per iteration with NO select chains and no per-iteration
+    # masks — measured faster than freezing lanes with `where`.
+    still = jnp.ones(shape, f32)
+    cnt = jnp.zeros(shape, f32)
+    zx2 = jnp.zeros(shape, f32)
+    zy2 = jnp.zeros(shape, f32)
 
-    def step_i(i, carry):
-        zx, zy, esc = carry
-        not_div = esc == MANDELBROT_ITERS
-        nzx = zx * zx - zy * zy + px
-        nzy = f32(2.0) * zx * zy + py
-        zx = jnp.where(not_div, nzx, zx)
-        zy = jnp.where(not_div, nzy, zy)
-        now = (zx * zx + zy * zy) > f32(4.0)
-        esc = jnp.where(not_div & now, i, esc)
-        return zx, zy, esc
+    def step_i(_, carry):
+        zx, zy, zx2, zy2, still, cnt = carry
+        zy = f32(2.0) * zx * zy + py
+        zx = zx2 - zy2 + px
+        zx2 = zx * zx
+        zy2 = zy * zy
+        ok = (zx2 + zy2 <= f32(4.0)).astype(f32)
+        still = still * ok
+        cnt = cnt + still
+        return zx, zy, zx2, zy2, still, cnt
 
     # Two-phase early exit: |p| > 2 over most of the sky, so typical lane
-    # blocks fully escape within the first few iterations. Run a short
-    # prefix unconditionally, then skip the long tail wholesale when no
-    # lane is still live (branching per chunk costs more than it saves on
-    # this hardware, so exactly one branch).
-    prefix = 8
-    carry = (zx, zy, esc)
+    # blocks fully escape within the first few iterations; one branch skips
+    # the long tail when no lane is still bounded.
+    prefix = min(8, MANDELBROT_ITERS)
+    carry = (zx, zy, zx2, zy2, still, cnt)
     carry = jax.lax.fori_loop(0, prefix, step_i, carry)
 
     def tail(carry):
         return jax.lax.fori_loop(prefix, MANDELBROT_ITERS, step_i, carry)
 
-    zx, zy, esc = jax.lax.cond(
-        jnp.any(carry[2] == MANDELBROT_ITERS), tail, lambda c: c, carry)
-    return jnp.where(esc < MANDELBROT_ITERS,
-                     esc.astype(f32) * f32(1.0 / MANDELBROT_ITERS), f32(0.0))
+    carry = jax.lax.cond(jnp.any(carry[4] > 0.0), tail, lambda c: c, carry)
+    cnt = carry[5]
+    return jnp.where(cnt < f32(MANDELBROT_ITERS),
+                     cnt * f32(1.0 / MANDELBROT_ITERS), f32(0.0))
 
 
 def sun_le(dx, dy, dz):

@@ -100,6 +100,34 @@ def intersect_sphere_scene(
     return best_t, px, py, pz, nx * rcp, ny * rcp, nz * rcp, best_i, best_r2
 
 
+def sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, sphere_count, fetch: Fetch,
+                        unroll: int = 1):
+    """Boolean any-hit sweep: does the ray hit ANY sphere with t >= 0?
+
+    Exactly `intersect_sphere_scene(...)[0] >= 0` but without sqrt, t
+    ordering, or winner tracking: with the reference's root choice
+    (t = t1 if t1 >= 0 else t2, sphere_pathtracing.cs.glsl:157-161) a
+    sphere is hit iff the origin is inside it (c < 0 => t2 >= 0) or it is
+    ahead with a real root (hb < 0 and disc >= 0). Used for the LAST path
+    segment, whose nearest-hit result the reference only ever tests against
+    the miss sentinel for the environment lookup (glsl:312-314).
+    """
+    shape = jnp.broadcast_shapes(jnp.shape(ox), jnp.shape(dx))
+
+    def body(i, any_hit):
+        cx, cy, cz, r2 = fetch(i)
+        rox, roy, roz = ox - cx, oy - cy, oz - cz
+        hb = rox * dx + roy * dy + roz * dz
+        c = rox * rox + roy * roy + roz * roz - r2
+        hit = (c < 0.0) | ((hb < 0.0) & (hb * hb >= c))
+        # int32 accumulator: boolean vectors break Mosaic loop carries.
+        return any_hit | hit.astype(jnp.int32)
+
+    any_hit = jax.lax.fori_loop(0, sphere_count, body,
+                                jnp.zeros(shape, jnp.int32), unroll=unroll)
+    return any_hit != 0
+
+
 def intersect_triangle_scene(
     ox, oy, oz, dx, dy, dz, triangle_count: int, fetch: Fetch,
     unroll: int = 1,

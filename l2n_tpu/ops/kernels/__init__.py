@@ -33,13 +33,15 @@ from l2n_tpu.ops.kernels import sphere_pt, triangle_pt  # noqa: E402,F401
 from l2n_tpu.ops.kernels.uv_demo import uv_demo  # noqa: E402,F401
 
 
-def build_pallas_step(cfg, scene, tile_array):
+def build_pallas_step(cfg, scene, tile_array, donate: bool = True):
     """Compile-time dispatch on cfg.scene_kind (the renderer combo,
-    src/main.cpp:976-980)."""
+    src/main.cpp:976-980). Returns an ALREADY-jitted step — builders manage
+    their own jit boundary so per-camera precomputations (visibility tables,
+    mesh orders) can be cached host-side instead of recomputed per step."""
     try:
         builder = KERNELS[cfg.scene_kind]
     except KeyError:
         raise ValueError(
             f"no pallas kernel registered for scene {cfg.scene_kind!r}"
         ) from None
-    return builder(cfg, scene, tile_array)
+    return builder(cfg, scene, tile_array, donate=donate)

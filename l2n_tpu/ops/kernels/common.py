@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from l2n_tpu.rng.sampler import (
     TausLCGSampler,
@@ -11,6 +13,7 @@ from l2n_tpu.rng.sampler import (
     TinyMTSampler,
     max_pairs_per_sample,
 )
+from l2n_tpu.rng.threefry import uniform_oo_from_bits
 
 
 def interpret_mode() -> bool:
@@ -29,6 +32,41 @@ def tile_pixel_coords(cfg, tile_x, tile_y):
     return row, col
 
 
+class TpuHwSampler:
+    """Draws from the TPU core's hardware PRNG (pltpu.prng_random_bits).
+
+    Stateless from the tracer's point of view (masks are ignored; nothing is
+    consumed per lane) but sequenced by the core PRNG, which the caller must
+    seed once per (tile, sample, stream) via `seed_tpu_hw` before drawing.
+    By far the cheapest sampler — a threefry block is ~120 vector ops, a
+    hardware draw is one instruction."""
+
+    stateful = False
+
+    def __init__(self, shape):
+        self._shape = shape
+
+    def draw2(self, mask=None):
+        return self.draw1(), self.draw1()
+
+    def draw1(self, mask=None):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(self._shape), jnp.uint32)
+        return uniform_oo_from_bits(bits)
+
+    def final_state(self):
+        return None
+
+
+def seed_tpu_hw(cfg, sample_index, stream):
+    """Seed the core PRNG for this (program, sample, stream). Mosaic caps
+    prng_seed at two 32-bit values, so the per-step scalars are mixed into
+    one word with distinct odd multipliers (Knuth/Murmur-style)."""
+    mix = ((pl.program_id(0) * jnp.int32(-1640531527))
+           ^ (jnp.asarray(sample_index, jnp.int32) * jnp.int32(-2048144789))
+           ^ (jnp.asarray(stream, jnp.int32) * jnp.int32(0x27220A95)))
+    pltpu.prng_seed(jnp.int32(cfg.seed), mix)
+
+
 def make_kernel_sampler(cfg, pixel_index, sample_index, rng_in_ref,
                         rng_out_ref, stream=0):
     """Build the configured sampler inside a kernel body.
@@ -36,12 +74,22 @@ def make_kernel_sampler(cfg, pixel_index, sample_index, rng_in_ref,
     For stateful modes the per-pixel state planes ride in/out as aliased
     VMEM blocks; returns (sampler, finalize) where finalize() writes the
     stepped states to the output ref. `stream` decorrelates shard replicas.
+
+    `sample_index` may be a scalar or a lane array for the counter-based
+    modes; "tpu_hw" requires a scalar (it feeds the seed register).
     """
     if cfg.rng == "threefry":
         sampler = ThreefrySampler(cfg.seed, stream, pixel_index, sample_index,
                                   max_pairs_per_sample(cfg.max_bounces,
                                                        cfg.nee))
         return sampler, lambda: None
+    if cfg.rng == "tpu_hw":
+        if interpret_mode():
+            raise NotImplementedError(
+                "rng='tpu_hw' needs a real TPU (the Pallas interpreter has "
+                "no pltpu.prng_seed); use rng='threefry' off-TPU")
+        seed_tpu_hw(cfg, sample_index, stream)
+        return TpuHwSampler((cfg.tile_height, cfg.tile_width)), lambda: None
     if cfg.rng == "tinymt":
         words = tuple(rng_in_ref[i] for i in range(7))
         sampler = TinyMTSampler(words[:4], words[4:7])

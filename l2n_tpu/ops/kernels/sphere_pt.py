@@ -27,13 +27,14 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from l2n_tpu.camera.camera import ROW_POSITION, ROW_PROJ
-from l2n_tpu.ops.intersect import intersect_sphere_scene
+from l2n_tpu.ops.intersect import intersect_sphere_scene, sphere_scene_anyhit
 from l2n_tpu.ops.kernels import register_kernel
 from l2n_tpu.ops.kernels.common import (
     accumulate_and_tonemap,
@@ -97,6 +98,21 @@ def visibility_table(cfg, scene, camera, sched, row_offset=0) -> jnp.ndarray:
     return jnp.concatenate([n_vis[:, None], order], axis=1)
 
 
+def full_visibility_table(cfg, scene, camera, row_offset=0) -> jnp.ndarray:
+    """(tile_count, 1 + n) int32 visibility table for EVERY tile of the
+    frame, rows in tile-id order (tid = tile_y * tile_count_x + tile_x).
+
+    Depends only on (camera, scene, tile grid) — NOT on the step's tile
+    schedule — so the host caches it per camera and kernels index rows by
+    tile id. Recomputing it per step inside the jitted step was measured at
+    ~1.5 ms/step, dwarfing the kernel itself (VERDICT r1 'weak' item 6).
+    """
+    tcx = cfg.tile_count_x
+    tid = jnp.arange(cfg.tile_count, dtype=jnp.int32)
+    sched = jnp.stack([tid % tcx, tid // tcx], axis=1)
+    return visibility_table(cfg, scene, camera, sched, row_offset=row_offset)
+
+
 # Spheres tested per chunk of the culled primary sweep (statically unrolled;
 # chunks are skipped wholesale once past the visible count).
 _CULL_CHUNK = 16
@@ -105,10 +121,11 @@ _CULL_CHUNK = 16
 def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz):
     """Primary sweep over the tile's compacted visible-sphere list.
 
-    Statically unrolled chunks of _CULL_CHUNK candidates; whole chunks are
-    skipped (lax.cond) once past n_vis. Padding candidates are real scene
-    spheres (just culled ones), so testing a partial chunk's tail is
-    harmless — it can only re-confirm misses.
+    A dynamic-trip-count loop over ceil(n_vis / _CULL_CHUNK) statically
+    unrolled chunks — no branches at all (measured cheaper than per-chunk
+    lax.cond skips). Padding candidates are real scene spheres (just culled
+    ones), so testing a partial chunk's tail is harmless — it can only
+    re-confirm misses.
     """
     f32 = jnp.float32
     big = f32(3.0e38)
@@ -137,22 +154,17 @@ def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz):
                 jnp.where(better, jnp.broadcast_to(cz, shape), bcz),
                 jnp.where(better, jnp.broadcast_to(r2, shape), br2))
 
-    n_chunks = -(-n_spheres // _CULL_CHUNK)
-
     def chunk_body(chunk, carry):
-        def run(carry):
-            base = chunk * _CULL_CHUNK
-            for k in range(_CULL_CHUNK):
-                # Clamp keeps the tail of the last chunk in bounds when the
-                # sphere count is not a chunk multiple (re-tests are benign).
-                s = vis_row(jnp.minimum(base + jnp.int32(k),
-                                        jnp.int32(n_spheres - 1)))
-                carry = candidate(s, carry)
-            return carry
+        base = chunk * _CULL_CHUNK
+        for k in range(_CULL_CHUNK):
+            # Clamp keeps the tail of the last chunk in bounds when the
+            # sphere count is not a chunk multiple (re-tests are benign).
+            s = vis_row(jnp.minimum(base + jnp.int32(k),
+                                    jnp.int32(n_spheres - 1)))
+            carry = candidate(s, carry)
+        return carry
 
-        return jax.lax.cond(chunk * _CULL_CHUNK < n_vis, run,
-                            lambda c: c, carry)
-
+    n_chunks = (n_vis + jnp.int32(_CULL_CHUNK - 1)) // jnp.int32(_CULL_CHUNK)
     carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
 
     best_t, best_i, bcx, bcy, bcz, br2 = carry
@@ -169,7 +181,7 @@ def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz):
 
 
 def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
-    if cfg.rng == "threefry":
+    if not cfg.rng_stateful:
         (sched_ref, vis_ref, cam_ref, cx_ref, cy_ref, cz_ref, r2_ref,
          accum_in, _out_in, accum_out, out_out) = refs
         rng_in = rng_out = None
@@ -187,8 +199,11 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
     row, col = tile_pixel_coords(cfg, tile_x, tile_y)
     row = row + row_offset  # global framebuffer row
     pixel_index = (col + row * jnp.int32(cfg.padded_width)).astype(jnp.uint32)
-    # Mosaic lacks a direct f32->u32 cast; go through i32 (counts < 2^31).
-    sample_index = accum_in[3].astype(jnp.int32).astype(jnp.uint32)
+    # Per-pixel sample counts are uniform within a tile (whole tiles are
+    # scheduled and cleared), so one scalar read suffices — and the tpu_hw
+    # sampler needs a scalar for the seed register. Mosaic lacks a direct
+    # f32->u32 cast; go through i32 (counts < 2^31).
+    sample_index = accum_in[3, 0, 0].astype(jnp.int32).astype(jnp.uint32)
 
     def fetch(s):
         return cx_ref[s], cy_ref[s], cz_ref[s], r2_ref[s]
@@ -199,12 +214,19 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
         return Hit(t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
                    index=idx, emis_r2=br2)
 
+    def intersect_anyhit(ox, oy, oz, dx, dy, dz):
+        return sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, n_spheres, fetch,
+                                   unroll=sphere_unroll)
+
     if cone_cull:
-        n_vis = vis_ref[i, 0]
+        # Table rows are in tile-id order (full_visibility_table), so the
+        # lookup is schedule-independent and the table is camera-cacheable.
+        tid = tile_y * jnp.int32(cfg.tile_count_x) + tile_x
+        n_vis = vis_ref[tid, 0]
 
         def intersect_primary(ox, oy, oz, dx, dy, dz) -> Hit:
             return _culled_sweep(n_spheres, fetch,
-                                 lambda k: vis_ref[i, 1 + k], n_vis,
+                                 lambda k: vis_ref[tid, 1 + k], n_vis,
                                  ox, oy, oz, dx, dy, dz)
     else:
         intersect_primary = intersect
@@ -229,9 +251,10 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
         r, g, b = shade(cfg, intersect, sampler, *rays,
                         skip_empty=cfg.skip_empty_tiles,
                         intersect_primary=intersect_primary,
+                        intersect_anyhit=intersect_anyhit,
                         light_sampler=light_sampler)
         sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
-        if cfg.rng != "threefry" and s + 1 < cfg.spp_per_step:
+        if cfg.rng_stateful and s + 1 < cfg.spp_per_step:
             # Stateful modes must chain states across sub-samples.
             finalize()
             rng_in = rng_out
@@ -245,7 +268,8 @@ def build_sphere_call(cfg, scene, sphere_unroll: int | None = None,
     """The raw pallas_call over one framebuffer (or one shard's slab).
 
     Signature of the returned callable:
-      call(sched (K,2) i32, vis_table (K,1+n) i32, camera (10,4) f32,
+      call(sched (K,2) i32, vis_table (tile_count,1+n) i32 in tile-id order
+           (full_visibility_table), camera (10,4) f32,
            cx, cy, cz, r2 (n,) f32, accum, output[, rng_state])
     Used directly by the single-chip step below and, per shard, inside the
     multi-chip shard_map step (l2n_tpu.parallel.step).
@@ -258,7 +282,7 @@ def build_sphere_call(cfg, scene, sphere_unroll: int | None = None,
     hp, wp = cfg.padded_height, cfg.padded_width
     k = cfg.effective_tiles_per_step
     n = scene.count
-    stateful = cfg.rng != "threefry"
+    stateful = cfg.rng_stateful
     rng_planes = 8 if cfg.rng == "tinymt" else 4
 
     def tile_map(planes):
@@ -303,22 +327,28 @@ def build_sphere_call(cfg, scene, sphere_unroll: int | None = None,
 
 @register_kernel("sphere")
 def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
-                      cone_cull: bool = True):
+                      cone_cull: bool = True, donate: bool = True):
+    """Returns step(FrameState, packed_camera) -> FrameState, ALREADY jitted.
+
+    The step is split across the jit boundary so the cone-cull visibility
+    table — a pure function of (camera, scene, tile grid) — is computed once
+    per camera by a Python-side cache instead of per step (the camera is
+    static across a progressive refinement run, src/main.cpp:997-1001 only
+    clears on move)."""
     call = build_sphere_call(cfg, scene, sphere_unroll, cone_cull)
     tile_array = jnp.asarray(tile_array)
     k = cfg.effective_tiles_per_step
     n = scene.count
-    stateful = cfg.rng != "threefry"
+    stateful = cfg.rng_stateful
     cx, cy, cz, r2 = (scene.center_x, scene.center_y, scene.center_z,
                       scene.sqr_radius)
 
-    def step(state: FrameState, camera) -> FrameState:
-        camera = jnp.asarray(camera, jnp.float32)
+    table_fn = jax.jit(partial(full_visibility_table, cfg, scene))
+    empty_table = None if cone_cull else jnp.zeros((cfg.tile_count, 1 + n),
+                                                   jnp.int32)
+
+    def kernel_step(state: FrameState, camera, table) -> FrameState:
         sched = scheduled_tiles(tile_array, state.tile_offset, k)
-        if cone_cull:
-            table = visibility_table(cfg, scene, camera, sched)
-        else:
-            table = jnp.zeros((k, 1 + n), jnp.int32)
         args = [sched, table, camera, cx, cy, cz, r2,
                 state.accum, state.output]
         if stateful:
@@ -331,5 +361,24 @@ def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
             iteration=state.iteration + 1,
             rng_state=outs[2] if stateful else None,
         )
+
+    jit_step = jax.jit(kernel_step, donate_argnums=(0,) if donate else ())
+    cache: dict[bytes, tuple] = {}
+
+    def step(state: FrameState, camera) -> FrameState:
+        # Device-residency cache: uploading the camera every step costs more
+        # than the whole kernel on a tunnel-attached chip, and the camera is
+        # static across a progressive run. One upload (+ one cone-cull table
+        # build) per camera move.
+        camera = np.asarray(camera, np.float32)
+        key = camera.tobytes()
+        entry = cache.get(key)
+        if entry is None:
+            cache.clear()  # one live camera at a time
+            cam_dev = jnp.asarray(camera)
+            table = table_fn(cam_dev) if cone_cull else empty_table
+            entry = (cam_dev, table)
+            cache[key] = entry
+        return jit_step(state, *entry)
 
     return step

@@ -161,7 +161,7 @@ def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, tpad,
 
 
 def _kernel(cfg, mesh_count, tpad, *refs):
-    if cfg.rng == "threefry":
+    if not cfg.rng_stateful:
         (sched_ref, order_ref, cam_ref, bcx_ref, bcy_ref, bcz_ref, br2_ref,
          blocks_hbm, accum_in, _out_in, accum_out, out_out,
          smem_blk, dma_sem) = refs
@@ -178,7 +178,8 @@ def _kernel(cfg, mesh_count, tpad, *refs):
     tile_y = sched_ref[i, 1]
     row, col = tile_pixel_coords(cfg, tile_x, tile_y)
     pixel_index = (col + row * jnp.int32(cfg.padded_width)).astype(jnp.uint32)
-    sample_index = accum_in[3].astype(jnp.int32).astype(jnp.uint32)
+    # Scalar: counts are tile-uniform (see sphere_pt), and tpu_hw seeds on it.
+    sample_index = accum_in[3, 0, 0].astype(jnp.int32).astype(jnp.uint32)
 
     shape = (cfg.tile_height, cfg.tile_width)
 
@@ -229,7 +230,7 @@ def _kernel(cfg, mesh_count, tpad, *refs):
                         miss_color=(1.0, 0.0, 1.0),
                         skip_empty=cfg.skip_empty_tiles)
         sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
-        if cfg.rng != "threefry" and s + 1 < cfg.spp_per_step:
+        if cfg.rng_stateful and s + 1 < cfg.spp_per_step:
             finalize()
             rng_in = rng_out
     accumulate_and_tonemap(cfg, accum_in, accum_out, out_out,
@@ -238,12 +239,13 @@ def _kernel(cfg, mesh_count, tpad, *refs):
 
 
 @register_kernel("triangle")
-def build_triangle_step(cfg, scene: TriangleScene, tile_array):
+def build_triangle_step(cfg, scene: TriangleScene, tile_array,
+                        donate: bool = True):
     th, tw = cfg.tile_height, cfg.tile_width
     hp, wp = cfg.padded_height, cfg.padded_width
     k = cfg.effective_tiles_per_step
     tile_array = jnp.asarray(tile_array)
-    stateful = cfg.rng != "threefry"
+    stateful = cfg.rng_stateful
     rng_planes = 8 if cfg.rng == "tinymt" else 4
 
     blocks_np, bounds_np = pack_mesh_blocks(scene)
@@ -260,7 +262,7 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array):
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [smem(),                          # camera
                 smem(), smem(), smem(), smem(),  # mesh bounds SoA
-                pl.BlockSpec(memory_space=pltpu.ANY),  # triangle blocks (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # triangle blocks (HBM)
                 tile_map(4), tile_map(3)]
     out_specs = [tile_map(4), tile_map(3)]
     out_shape = [jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
@@ -291,16 +293,8 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array):
         interpret=interpret_mode(),
     )
 
-    def step(state: FrameState, camera) -> FrameState:
-        camera = jnp.asarray(camera, jnp.float32)
+    def kernel_step(state: FrameState, camera, order) -> FrameState:
         sched = scheduled_tiles(tile_array, state.tile_offset, k)
-        # Front-to-back mesh order for this camera (distance to bound
-        # centers minus radius, ascending).
-        from l2n_tpu.camera.camera import ROW_POSITION
-        pos = camera[ROW_POSITION]
-        d = jnp.sqrt((bounds[0] - pos[0]) ** 2 + (bounds[1] - pos[1]) ** 2
-                     + (bounds[2] - pos[2]) ** 2) - jnp.sqrt(bounds[3])
-        order = jnp.argsort(d).astype(jnp.int32)
         args = [sched, order, camera, *bounds, blocks,
                 state.accum, state.output]
         if stateful:
@@ -313,5 +307,32 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array):
             iteration=state.iteration + 1,
             rng_state=outs[2] if stateful else None,
         )
+
+    jit_step = jax.jit(kernel_step, donate_argnums=(0,) if donate else ())
+    bounds_np4 = bounds_np
+
+    def mesh_order(camera: np.ndarray) -> jnp.ndarray:
+        # Front-to-back mesh order for this camera (distance to bound
+        # centers minus radius, ascending) — a pure camera function, cached
+        # per camera like the sphere kernel's visibility table.
+        from l2n_tpu.camera.camera import ROW_POSITION
+        pos = camera[ROW_POSITION, :3]
+        d = (np.sqrt(((bounds_np4[:, :3] - pos) ** 2).sum(1))
+             - np.sqrt(bounds_np4[:, 3]))
+        return jnp.asarray(np.argsort(d).astype(np.int32))
+
+    cache: dict[bytes, tuple] = {}
+
+    def step(state: FrameState, camera) -> FrameState:
+        # Device-residency cache (see sphere_pt.build_sphere_step): one
+        # camera upload + one front-to-back sort per camera move.
+        camera = np.asarray(camera, np.float32)
+        key = camera.tobytes()
+        entry = cache.get(key)
+        if entry is None:
+            cache.clear()  # one live camera at a time
+            entry = (jnp.asarray(camera), mesh_order(camera))
+            cache[key] = entry
+        return jit_step(state, *entry)
 
     return step

@@ -132,22 +132,41 @@ def generate_rays(cfg, cam, px, py, u1, u2):
 def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
                skip_empty: bool = False, stats: dict | None = None,
                intersect_primary: IntersectFn | None = None,
-               light_sampler=None):
+               intersect_anyhit=None, light_sampler=None):
     """Trace one sample per lane; returns (r, g, b).
 
     Exact mask translation of sphere_pathtracing.cs.glsl:272-317 — see the
     inline references. Every lane executes every bounce's arithmetic;
     masks decide what is kept (the TPU trade for SIMT divergence).
 
-    `skip_empty=True` wraps each bounce in `lax.cond(any(alive))` so a lane
-    block with no surviving paths skips the whole scene sweep — the TPU
-    analog of the reference's early SIMT `while` exit (glsl:280), profitable
-    inside tile kernels (sky tiles die after the primary cast). Only valid
-    with stateless samplers: skipping must not desynchronize per-pixel RNG
-    streams, so it is disabled automatically for stateful parity modes.
+    Radiance is ACCUMULATED THE MOMENT A LANE RESOLVES — emissive hits when
+    they terminate (glsl:286-290), the environment when a cast misses
+    (dist == -1; the reference adds it after the loop, glsl:312-314, but a
+    resolved lane's throughput/direction never change again, so adding at
+    miss time is algebraically identical). This keeps the whole bounce
+    machinery's state LOCAL to the bounce region: only the three color sums
+    cross out of it, which is what makes `skip_empty` cheap (Mosaic branch
+    carries were measured at ~0.4us per (32,128) array on v5e).
+
+    `skip_empty=True` wraps the bounce loop in one `lax.cond(any(diffuse))`
+    so a lane block with no surviving paths skips every scene sweep — the
+    TPU analog of the reference's early SIMT `while` exit (glsl:280),
+    profitable inside tile kernels (sky tiles die after the primary cast).
+    Only valid with stateless samplers: skipping must not desynchronize
+    per-pixel RNG streams, so it is disabled for stateful parity modes.
     """
     f32 = jnp.float32
     shape = jnp.shape(dx)
+    use_nee = cfg.nee and light_sampler is not None
+    use_cond = skip_empty and not getattr(sampler, "stateful", False)
+
+    def env_term(edx, edy, edz):
+        return env_radiance(cfg.env_mode, edx, edy, edz) * f32(cfg.env_scale)
+
+    def emit_term(emis_r2):
+        # scale / (4 pi r^2) (glsl:288), guarded where r2 is meaningless.
+        return f32(cfg.emission_scale) / (f32(4.0 * PI) *
+                                          jnp.maximum(emis_r2, f32(1e-20)))
 
     # The primary cast may use a specialized sweep (constant origin, tile
     # cone culling); bounce casts see arbitrary rays and use the full one.
@@ -155,146 +174,169 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
     ox = jnp.broadcast_to(ox, shape)
     oy = jnp.broadcast_to(oy, shape)
     oz = jnp.broadcast_to(oz, shape)
-    use_nee = cfg.nee and light_sampler is not None
-    carry = (
-        ox, oy, oz, dx, dy, dz,
-        jnp.ones(shape, f32), jnp.ones(shape, f32), jnp.ones(shape, f32),
-        jnp.zeros(shape, f32), jnp.zeros(shape, f32), jnp.zeros(shape, f32),
-        hit.t,  # dist: tri-state sentinel (>=0 hit, -1 miss, -2 terminated)
-        hit.t,  # cur_t: geometric t of the current hit (never -2)
-        hit.nx, hit.ny, hit.nz, hit.index, hit.emis_r2,
+
+    # Resolve the bounce-free contributions up front with throughput = 1:
+    # direct emissive hits (glsl:285-290) and the primary-miss environment.
+    p_active = hit.t >= 0.0
+    p_emissive = p_active & (hit.index % cfg.emissive_every == 0)
+    p_diffuse = p_active & ~p_emissive
+    base = jnp.where(p_emissive, emit_term(hit.emis_r2), f32(0.0))
+    if cfg.env_mode != "none":
+        # Unconditional: the sky is most of the frame, and a branch costs
+        # about as much as the whole Mandelbrot evaluation.
+        base = base + jnp.where(hit.t == f32(-1.0), env_term(dx, dy, dz),
+                                f32(0.0))
+    col_r = col_g = col_b = base
+
+    def run_bounces(cols):
+        col_r, col_g, col_b = cols
+        tp_r = tp_g = tp_b = jnp.ones(shape, f32)
+        # dist: tri-state sentinel (>=0 hit, -1 miss, -2 terminated);
+        # primary emissive/miss lanes are already resolved above.
+        dist = jnp.where(p_emissive, f32(-2.0), hit.t)
+        state = (ox, oy, oz, dx, dy, dz, hit.t, hit.nx, hit.ny, hit.nz,
+                 hit.index, hit.emis_r2)
         # emission_ok: under NEE, emission is only collected on camera-direct
         # hits; every diffuse vertex accounts for lights explicitly (int32
         # mask — boolean vectors break Mosaic loop/branch legalization).
-        jnp.ones(shape, jnp.int32),
-    )
-    use_cond = skip_empty and not getattr(sampler, "stateful", False)
+        emission_ok = jnp.ones(shape, jnp.int32)
+        diffuse = p_diffuse
 
-    def bounce(carry):
-        (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b, col_r, col_g, col_b,
-         dist, cur_t, nx, ny, nz, index, emis_r2, emission_ok) = carry
-        active = dist >= 0.0  # while (dist >= 0.0 && pathLength <= 1), glsl:280
-        emissive = active & (index % cfg.emissive_every == 0)  # glsl:285
-        diffuse = active & ~emissive
+        for b in range(cfg.max_bounces):
+            (box, boy, boz, bdx, bdy, bdz, cur_t, nx, ny, nz, index,
+             emis_r2) = state
+            if b > 0:
+                # Resolve this iteration's hit (iteration 0's was resolved
+                # before the branch): emissive lanes add and terminate
+                # (glsl:285-290).
+                active = dist >= 0.0  # while (dist >= 0.0 ...), glsl:280
+                emissive = active & (index % cfg.emissive_every == 0)
+                diffuse = active & ~emissive
+                emit = emit_term(emis_r2)
+                add_em = (emissive & (emission_ok == 1)) if use_nee \
+                    else emissive
+                col_r = jnp.where(add_em, col_r + tp_r * emit, col_r)
+                col_g = jnp.where(add_em, col_g + tp_g * emit, col_g)
+                col_b = jnp.where(add_em, col_b + tp_b * emit, col_b)
+                dist = jnp.where(emissive, f32(-2.0), dist)
 
-        # Emissive: color += throughput * scale / (4 pi r^2); terminate
-        # (glsl:286-290). Guard r2 on lanes where it's meaningless.
-        emit = f32(cfg.emission_scale) / (f32(4.0 * PI) *
-                                          jnp.maximum(emis_r2, f32(1e-20)))
-        add_emission = emissive & (emission_ok == 1) if use_nee else emissive
-        col_r = jnp.where(add_emission, col_r + tp_r * emit, col_r)
-        col_g = jnp.where(add_emission, col_g + tp_g * emit, col_g)
-        col_b = jnp.where(add_emission, col_b + tp_b * emit, col_b)
-        dist = jnp.where(emissive, f32(-2.0), dist)
+            # Diffuse bounce (glsl:292-300): move to the hit point,
+            # cosine-sample the hemisphere around the (reference:
+            # unnormalized interpolated) shading normal, multiply
+            # throughput by the procedural albedo.
+            tangent, bitangent = frame_z(nx, ny, nz)
+            hx = box + cur_t * bdx
+            hy = boy + cur_t * bdy
+            hz = boz + cur_t * bdz
+            u1, u2 = sampler.draw2(mask=diffuse)
+            (lx, ly, lz), _ = cosine_sample_hemisphere(u1, u2)
+            wdx, wdy, wdz = local_to_world(lx, ly, lz, tangent, bitangent,
+                                           (nx, ny, nz))
+            wdx, wdy, wdz = normalize3(wdx, wdy, wdz)
 
-        # Diffuse bounce (glsl:292-300): move to the hit point, cosine-sample
-        # the hemisphere around the (reference: unnormalized interpolated)
-        # shading normal, multiply throughput by the procedural albedo.
-        tangent, bitangent = frame_z(nx, ny, nz)
-        hx = ox + cur_t * dx
-        hy = oy + cur_t * dy
-        hz = oz + cur_t * dz
-        u1, u2 = sampler.draw2(mask=diffuse)
-        (lx, ly, lz), _ = cosine_sample_hemisphere(u1, u2)
-        wdx, wdy, wdz = local_to_world(lx, ly, lz, tangent, bitangent,
-                                       (nx, ny, nz))
-        wdx, wdy, wdz = normalize3(wdx, wdy, wdz)
+            kd_r, kd_g, kd_b = procedural_color(index)
 
-        kd_r, kd_g, kd_b = procedural_color(index)
+            if use_nee:
+                # Direct light sampling at this diffuse vertex (uses the
+                # pre-multiplication throughput and the vertex albedo).
+                from l2n_tpu.ops.nee import nee_contribution
+                u_pick = sampler.draw1(mask=diffuse)
+                ul1, ul2 = sampler.draw2(mask=diffuse)
+                light = light_sampler(u_pick, ul1, ul2)
+                dr, dg, db = nee_contribution(
+                    cfg, light_sampler.n_lights, intersect, light,
+                    hx, hy, hz, nx, ny, nz, kd_r, kd_g, kd_b,
+                    tp_r, tp_g, tp_b)
+                col_r = jnp.where(diffuse, col_r + dr, col_r)
+                col_g = jnp.where(diffuse, col_g + dg, col_g)
+                col_b = jnp.where(diffuse, col_b + db, col_b)
+                emission_ok = jnp.where(diffuse, 0, emission_ok)
 
-        if use_nee:
-            # Direct light sampling at this diffuse vertex (uses the
-            # pre-multiplication throughput and the vertex albedo).
-            from l2n_tpu.ops.nee import nee_contribution
-            u_pick = sampler.draw1(mask=diffuse)
-            ul1, ul2 = sampler.draw2(mask=diffuse)
-            light = light_sampler(u_pick, ul1, ul2)
-            dr, dg, db = nee_contribution(
-                cfg, light_sampler.n_lights, intersect, light,
-                hx, hy, hz, nx, ny, nz, kd_r, kd_g, kd_b, tp_r, tp_g, tp_b)
-            col_r = jnp.where(diffuse, col_r + dr, col_r)
-            col_g = jnp.where(diffuse, col_g + dg, col_g)
-            col_b = jnp.where(diffuse, col_b + db, col_b)
-            emission_ok = jnp.where(diffuse, 0, emission_ok)
+            box = jnp.where(diffuse, hx, box)
+            boy = jnp.where(diffuse, hy, boy)
+            boz = jnp.where(diffuse, hz, boz)
+            bdx = jnp.where(diffuse, wdx, bdx)
+            bdy = jnp.where(diffuse, wdy, bdy)
+            bdz = jnp.where(diffuse, wdz, bdz)
+            tp_r = jnp.where(diffuse, tp_r * kd_r, tp_r)
+            tp_g = jnp.where(diffuse, tp_g * kd_g, tp_g)
+            tp_b = jnp.where(diffuse, tp_b * kd_b, tp_b)
 
-        ox = jnp.where(diffuse, hx, ox)
-        oy = jnp.where(diffuse, hy, oy)
-        oz = jnp.where(diffuse, hz, oz)
-        dx = jnp.where(diffuse, wdx, dx)
-        dy = jnp.where(diffuse, wdy, dy)
-        dz = jnp.where(diffuse, wdz, dz)
-        tp_r = jnp.where(diffuse, tp_r * kd_r, tp_r)
-        tp_g = jnp.where(diffuse, tp_g * kd_g, tp_g)
-        tp_b = jnp.where(diffuse, tp_b * kd_b, tp_b)
+            # Russian roulette (glsl:302-309): survive with p = min(ceiling,
+            # luminance(throughput)); survivors get throughput / p,
+            # casualties terminate with dist = -2.
+            rr = sampler.draw1(mask=diffuse)
+            rr_prob = jnp.minimum(f32(cfg.rr_ceiling),
+                                  luminance(tp_r, tp_g, tp_b))
+            survive = diffuse & (rr < rr_prob)
+            rcp_p = f32(1.0) / jnp.maximum(rr_prob, f32(1e-20))
+            tp_r = jnp.where(survive, tp_r * rcp_p, tp_r)
+            tp_g = jnp.where(survive, tp_g * rcp_p, tp_g)
+            tp_b = jnp.where(survive, tp_b * rcp_p, tp_b)
+            dist = jnp.where(diffuse & ~survive, f32(-2.0), dist)
 
-        # Russian roulette (glsl:302-309): survive with p = min(ceiling,
-        # luminance(throughput)); survivors get throughput / p, casualties
-        # terminate with dist = -2.
-        rr = sampler.draw1(mask=diffuse)
-        rr_prob = jnp.minimum(f32(cfg.rr_ceiling), luminance(tp_r, tp_g, tp_b))
-        survive = diffuse & (rr < rr_prob)
-        rcp_p = f32(1.0) / jnp.maximum(rr_prob, f32(1e-20))
-        tp_r = jnp.where(survive, tp_r * rcp_p, tp_r)
-        tp_g = jnp.where(survive, tp_g * rcp_p, tp_g)
-        tp_b = jnp.where(survive, tp_b * rcp_p, tp_b)
-        dist = jnp.where(diffuse & ~survive, f32(-2.0), dist)
+            if stats is not None:
+                # Physical ray-segment accounting for throughput metrics:
+                # survivors cast one more scene ray (the primary is always 1).
+                stats.setdefault("survive_fraction", []).append(
+                    jnp.mean(survive.astype(f32)))
+            # Cast the continuation ray from org + eps*dir (glsl:305).
+            # Lockstep: computed for every lane, merged into survivors.
+            # Dead lanes cast from a far-away origin so block-level culls
+            # (mesh bounds) are not kept alive by results nobody will merge;
+            # 3e30 overflows squared-distance terms, NaN-poisoning those
+            # lanes' tests outright (NaN compares false everywhere).
+            far = f32(3.0e30)
+            cast_ox = jnp.where(survive, box + f32(cfg.ray_epsilon) * bdx, far)
+            cast_oy = jnp.where(survive, boy + f32(cfg.ray_epsilon) * bdy, far)
+            cast_oz = jnp.where(survive, boz + f32(cfg.ray_epsilon) * bdz, far)
+            if b + 1 == cfg.max_bounces and intersect_anyhit is not None:
+                # The LAST segment's nearest hit is only ever compared with
+                # the miss sentinel (the reference's loop exits before the
+                # hit could shade; only `dist == -1` feeds the env lookup,
+                # glsl:312-314) — a boolean any-hit sweep is enough, and it
+                # needs no sqrt and no winner tracking.
+                hit_any = intersect_anyhit(cast_ox, cast_oy, cast_oz,
+                                           bdx, bdy, bdz)
+                dist = jnp.where(survive,
+                                 jnp.where(hit_any, f32(1.0), f32(-1.0)),
+                                 dist)
+                state = (box, boy, boz, bdx, bdy, bdz, cur_t,
+                         nx, ny, nz, index, emis_r2)
+            else:
+                new = intersect(cast_ox, cast_oy, cast_oz, bdx, bdy, bdz)
+                dist = jnp.where(survive, new.t, dist)
+                state = (box, boy, boz, bdx, bdy, bdz,
+                         jnp.where(survive, new.t, cur_t),
+                         jnp.where(survive, new.nx, nx),
+                         jnp.where(survive, new.ny, ny),
+                         jnp.where(survive, new.nz, nz),
+                         jnp.where(survive, new.index, index),
+                         jnp.where(survive, new.emis_r2, emis_r2))
 
-        # Cast the continuation ray from org + eps*dir (glsl:305). Lockstep:
-        # computed for every lane, merged only into survivors.
-        if stats is not None:
-            # Physical ray-segment accounting for throughput metrics:
-            # survivors cast one more scene ray (the primary cast is always 1).
-            stats.setdefault("survive_fraction", []).append(
-                jnp.mean(survive.astype(f32)))
-        # Dead lanes cast from a far-away origin so block-level culls (mesh
-        # bounds) are not kept alive by results nobody will merge. 3e30 makes
-        # squared-distance terms overflow, NaN-poisoning those lanes' bound
-        # and candidate tests outright (NaN compares false everywhere).
-        far = f32(3.0e30)
-        new = intersect(
-            jnp.where(survive, ox + f32(cfg.ray_epsilon) * dx, far),
-            jnp.where(survive, oy + f32(cfg.ray_epsilon) * dy, far),
-            jnp.where(survive, oz + f32(cfg.ray_epsilon) * dz, far),
-            dx, dy, dz)
-        dist = jnp.where(survive, new.t, dist)
-        cur_t = jnp.where(survive, new.t, cur_t)
-        nx = jnp.where(survive, new.nx, nx)
-        ny = jnp.where(survive, new.ny, ny)
-        nz = jnp.where(survive, new.nz, nz)
-        index = jnp.where(survive, new.index, index)
-        emis_r2 = jnp.where(survive, new.emis_r2, emis_r2)
-        return (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b,
-                col_r, col_g, col_b, dist, cur_t, nx, ny, nz, index, emis_r2,
-                emission_ok)
+        # Environment for bounce-lane misses (glsl:312-314), evaluated ONCE
+        # on the final directions — a resolved lane's direction/throughput
+        # never change after its miss, exactly like the reference adding env
+        # after its loop. Restricted to lanes that entered as diffuse: the
+        # primary-miss sky was already resolved before the branch.
+        if cfg.env_mode != "none":
+            bdx, bdy, bdz = state[3], state[4], state[5]
+            env_ok = p_diffuse & (dist == f32(-1.0))
+            le = env_term(bdx, bdy, bdz)
+            col_r = jnp.where(env_ok, col_r + tp_r * le, col_r)
+            col_g = jnp.where(env_ok, col_g + tp_g * le, col_g)
+            col_b = jnp.where(env_ok, col_b + tp_b * le, col_b)
+        return col_r, col_g, col_b
 
-    for _ in range(cfg.max_bounces):
-        if use_cond:
-            carry = jax.lax.cond(jnp.any(carry[12] >= 0.0), bounce,
-                                 lambda c: c, carry)
-        else:
-            carry = bounce(carry)
-
-    (ox, oy, oz, dx, dy, dz, tp_r, tp_g, tp_b, col_r, col_g, col_b,
-     dist, cur_t, nx, ny, nz, index, emis_r2, emission_ok) = carry
-
-    # Environment (glsl:312-314): only lanes whose final cast missed
-    # (dist == -1 exactly; -2 lanes were terminated) and that did not end on
-    # an emissive object. index % 16 of the miss sentinel -1 is nonzero in
-    # GLSL and here, so pure-miss lanes qualify, matching the reference.
-    env_ok = (dist == f32(-1.0)) & (index % cfg.emissive_every != 0)
-    if cfg.env_mode != "none":
-        def add_env(cols):
-            col_r, col_g, col_b = cols
-            le = env_radiance(cfg.env_mode, dx, dy, dz) * f32(cfg.env_scale)
-            return (jnp.where(env_ok, col_r + tp_r * le, col_r),
-                    jnp.where(env_ok, col_g + tp_g * le, col_g),
-                    jnp.where(env_ok, col_b + tp_b * le, col_b))
-
-        if use_cond:
-            col_r, col_g, col_b = jax.lax.cond(
-                jnp.any(env_ok), add_env, lambda c: c, (col_r, col_g, col_b))
-        else:
-            col_r, col_g, col_b = add_env((col_r, col_g, col_b))
+    # Exactly ONE branch per sample, and only the three color sums cross
+    # it; everything else the bounce loop touches stays local to the
+    # branch, so it costs ~nothing when skipped and little when taken.
+    if use_cond:
+        col_r, col_g, col_b = jax.lax.cond(
+            jnp.any(p_diffuse), run_bounces, lambda c: c,
+            (col_r, col_g, col_b))
+    else:
+        col_r, col_g, col_b = run_bounces((col_r, col_g, col_b))
     return col_r, col_g, col_b
 
 
@@ -369,15 +411,18 @@ def aov_param_uv(intersect, ox, oy, oz, dx, dy, dz):
 
 def shade(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
           miss_color=(0.0, 0.0, 0.0), skip_empty: bool = False,
-          intersect_primary: IntersectFn | None = None, light_sampler=None):
+          intersect_primary: IntersectFn | None = None,
+          intersect_anyhit=None, light_sampler=None):
     """Dispatch on cfg.aov (static). `intersect_primary` (optional) is a
-    sweep specialized for the camera cast; AOVs are all primary-only except
+    sweep specialized for the camera cast; `intersect_anyhit` (optional) a
+    boolean sweep for the last segment; AOVs are all primary-only except
     the second AO ray."""
     primary = intersect_primary or intersect
     if cfg.aov == "pathtracing":
         return trace_path(cfg, intersect, sampler, ox, oy, oz, dx, dy, dz,
                           skip_empty=skip_empty,
                           intersect_primary=intersect_primary,
+                          intersect_anyhit=intersect_anyhit,
                           light_sampler=light_sampler)
     if cfg.aov == "normal":
         return aov_normal(primary, ox, oy, oz, dx, dy, dz, miss_color)

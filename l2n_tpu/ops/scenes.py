@@ -10,7 +10,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from l2n_tpu.ops.intersect import intersect_sphere_scene, intersect_triangle_scene
+from l2n_tpu.ops.intersect import (
+    intersect_sphere_scene,
+    intersect_triangle_scene,
+    sphere_scene_anyhit,
+)
 from l2n_tpu.ops.pathtrace import Hit, IntersectFn
 from l2n_tpu.scene.spheres import SphereScene
 
@@ -31,6 +35,22 @@ def sphere_intersector(scene: SphereScene, unroll: int = 1) -> IntersectFn:
                    index=idx, emis_r2=br2)
 
     return intersect
+
+
+def sphere_anyhit(scene: SphereScene, unroll: int = 1):
+    """Oracle-side boolean any-hit sweep (last-segment env test)."""
+    cx, cy, cz, r2 = (scene.center_x, scene.center_y, scene.center_z,
+                      scene.sqr_radius)
+    n = scene.count
+
+    def fetch(i):
+        return cx[i], cy[i], cz[i], r2[i]
+
+    def anyhit(ox, oy, oz, dx, dy, dz):
+        return sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, n, fetch,
+                                   unroll=unroll)
+
+    return anyhit
 
 
 def triangle_intersector(soup: dict[str, jnp.ndarray],

@@ -87,34 +87,46 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
         backend = "pallas" if cfg.scene_kind in KERNELS \
             and cfg.scene_kind == "sphere" and cfg.rng == "threefry" else "xla"
     n_tile = mesh.shape["tile"]
-    intersect, miss_color, light_sampler = make_intersector(cfg, scene)
+    intersect, miss_color, light_sampler, anyhit = make_intersector(cfg, scene)
     tile_grids = jnp.asarray(slab_tile_grids(cfg, n_tile))
     k = cfg.effective_tiles_per_step
     rows_per_slab = cfg.padded_height // n_tile
 
     pallas_call_local = None
+    slab_table_count = 1
     if backend == "pallas":
         if cfg.scene_kind != "sphere":
             raise NotImplementedError("sharded pallas backend: sphere scenes")
         from l2n_tpu.ops.kernels.sphere_pt import (
-            build_sphere_call, visibility_table)
+            build_sphere_call, full_visibility_table)
         # The per-shard kernel renders a slab-sized framebuffer; ray
         # generation still maps pixels against the full image.
         slab_cfg = cfg.replace(height=rows_per_slab,
                                ndc_height=cfg.ndc_height or cfg.height)
         pallas_call_local = build_sphere_call(slab_cfg, scene)
-        slab_vis_cfg = slab_cfg
+        slab_table_count = slab_cfg.tile_count
 
-    def _pallas_local_step(tiles_l, local, camera, row_offset, stream):
+        def make_tables(camera):
+            """(n_tile, slab_tile_count, 1+n) int32: each slab's cone-cull
+            table in slab-local tile-id order — a pure camera function,
+            computed on the host once per camera (recomputing it inside the
+            sharded step was the dominant per-step cost, see sphere_pt)."""
+            return jnp.stack([
+                full_visibility_table(
+                    slab_cfg, scene, camera,
+                    row_offset=jnp.float32(s * rows_per_slab))
+                for s in range(n_tile)])
+        make_tables = jax.jit(make_tables)
+
+    def _pallas_local_step(tiles_l, table_l, local, camera, row_offset,
+                           stream):
         from l2n_tpu.camera.camera import ROW_PROJ
         from l2n_tpu.render.tiles import scheduled_tiles
         cam = camera.at[ROW_PROJ, 2].set(row_offset.astype(jnp.float32))
         cam = cam.at[ROW_PROJ, 3].set(stream.astype(jnp.float32))
         sched = scheduled_tiles(tiles_l, local.tile_offset, k)
-        table = visibility_table(slab_vis_cfg, scene, cam, sched,
-                                 row_offset=row_offset.astype(jnp.float32))
         accum, output = pallas_call_local(
-            sched, table, cam, scene.center_x, scene.center_y,
+            sched, table_l, cam, scene.center_x, scene.center_y,
             scene.center_z, scene.sqr_radius, local.accum, local.output)
         return FrameState(
             accum=accum, output=output,
@@ -122,9 +134,9 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
             % jnp.int32(tiles_l.shape[0]),
             iteration=local.iteration + 1, rng_state=None)
 
-    def body(tiles_l, accum_l, out_l, offset, iteration, camera):
-        # Local views: tiles_l (1, T, 2), accum_l (1, 4, hl, Wp),
-        # out_l (3, hl, Wp).
+    def body(tiles_l, tables_l, accum_l, out_l, offset, iteration, camera):
+        # Local views: tiles_l (1, T, 2), tables_l (1, T_slab, 1+n),
+        # accum_l (1, 4, hl, Wp), out_l (3, hl, Wp).
         tile_rank = jax.lax.axis_index("tile")
         sample_rank = jax.lax.axis_index("sample")
         local = FrameState(accum=accum_l[0], output=out_l,
@@ -134,12 +146,13 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
         # decorrelated everywhere without any cross-chip coordination.
         stream = sample_rank * jnp.uint32(n_tile) + tile_rank.astype(jnp.uint32)
         if backend == "pallas":
-            new = _pallas_local_step(tiles_l[0], local, camera,
+            new = _pallas_local_step(tiles_l[0], tables_l[0], local, camera,
                                      tile_rank * rows_per_slab, stream)
         else:
             new = _xla_step(cfg, intersect, miss_color, tiles_l[0], local,
                             camera, row_offset=tile_rank * rows_per_slab,
-                            stream=stream, light_sampler=light_sampler)
+                            stream=stream, light_sampler=light_sampler,
+                            intersect_anyhit=anyhit)
         # Fold the sample axis (the one collective) and re-tonemap scheduled
         # pixels so the display uses all n_sample estimates.
         folded = jax.lax.psum(new.accum, "sample")
@@ -154,21 +167,44 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
 
     shard = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P("tile", None, None), P("sample", None, "tile", None),
+        in_specs=(P("tile", None, None), P("tile", None, None),
+                  P("sample", None, "tile", None),
                   P(None, "tile", None), P(), P(), P()),
         out_specs=(P("sample", None, "tile", None), P(None, "tile", None),
                    P(), P()),
         check_vma=False,
     )
 
-    def step(state: ShardedFrameState, camera) -> ShardedFrameState:
+    def jit_body(state: ShardedFrameState, camera, tables):
         accum, output, offset, iteration = shard(
-            tile_grids, state.accum, state.output, state.tile_offset,
-            state.iteration, jnp.asarray(camera, jnp.float32))
+            tile_grids, tables, state.accum, state.output, state.tile_offset,
+            state.iteration, camera)
         return ShardedFrameState(accum=accum, output=output,
                                  tile_offset=offset, iteration=iteration)
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    jit_step = jax.jit(jit_body, donate_argnums=(0,) if donate else ())
+    dummy_tables = jnp.zeros((n_tile, slab_table_count, 1), jnp.int32)
+    table_sharding = NamedSharding(mesh, P("tile", None, None))
+    cache: dict[bytes, tuple] = {}
+
+    def step(state: ShardedFrameState, camera) -> ShardedFrameState:
+        # Device-residency cache (see sphere_pt.build_sphere_step): one
+        # camera upload + per-slab table build per camera move.
+        camera = np.asarray(camera, np.float32)
+        key = camera.tobytes()
+        entry = cache.get(key)
+        if entry is None:
+            cache.clear()  # one live camera at a time
+            cam_dev = jnp.asarray(camera)
+            if backend == "pallas":
+                tables = jax.device_put(make_tables(cam_dev), table_sharding)
+            else:
+                tables = dummy_tables
+            entry = (cam_dev, tables)
+            cache[key] = entry
+        return jit_step(state, *entry)
+
+    return step
 
 
 class ShardedRenderer:

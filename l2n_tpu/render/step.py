@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 from l2n_tpu.config import RenderConfig
 from l2n_tpu.ops.pathtrace import generate_rays, shade
-from l2n_tpu.ops.scenes import sphere_intersector, triangle_intersector
+from l2n_tpu.ops.scenes import (
+    sphere_anyhit,
+    sphere_intersector,
+    triangle_intersector,
+)
 from l2n_tpu.render.state import FrameState
 from l2n_tpu.render.tiles import scheduled_pixel_mask, tile_grid
 from l2n_tpu.rng.sampler import (
@@ -43,6 +47,10 @@ def make_sampler(cfg: RenderConfig, state: FrameState, pixel_index,
                  sample_index, lane_mask, stream=0):
     """Per-step sampler from config + frame state (see rng.sampler).
     `stream` decorrelates sample-axis replicas under multi-chip sharding."""
+    if cfg.rng == "tpu_hw":
+        raise NotImplementedError(
+            "rng='tpu_hw' is a compiled-Pallas-only sampler (hardware PRNG); "
+            "the xla oracle backend has no analog — use rng='threefry'")
     if cfg.rng == "threefry":
         inner = ThreefrySampler(cfg.seed, stream, pixel_index, sample_index,
                                 max_pairs_per_sample(cfg.max_bounces,
@@ -73,7 +81,8 @@ def merge_rng_state(cfg: RenderConfig, state: FrameState, sampler,
 
 def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
               state: FrameState, camera: jnp.ndarray,
-              row_offset=0, stream=0, light_sampler=None) -> FrameState:
+              row_offset=0, stream=0, light_sampler=None,
+              intersect_anyhit=None) -> FrameState:
     """One full-frame oracle step. `row_offset`/`stream` support multi-chip
     slab sharding: the state covers rows [row_offset, row_offset + h) of the
     global framebuffer and `stream` keys this device's sample-axis replica."""
@@ -100,6 +109,7 @@ def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
         rays = generate_rays(cfg, camera, px.astype(jnp.float32),
                              py.astype(jnp.float32), u1, u2)
         r, g, b = shade(cfg, intersect, sampler, *rays, miss_color=miss_color,
+                        intersect_anyhit=intersect_anyhit,
                         light_sampler=light_sampler)
         sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
         work = dataclasses.replace(
@@ -127,8 +137,8 @@ def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
 
 
 def make_intersector(cfg: RenderConfig, scene):
-    """(intersect closure, AOV miss color, light sampler or None) for a
-    scene pytree."""
+    """(intersect closure, AOV miss color, light sampler or None, any-hit
+    closure or None) for a scene pytree."""
     if cfg.scene_kind == "sphere":
         if not isinstance(scene, SphereScene):
             raise TypeError("sphere config needs a SphereScene")
@@ -141,11 +151,12 @@ def make_intersector(cfg: RenderConfig, scene):
                 scene.count, cfg.emissive_every,
                 lambda i: (cx[i], cy[i], cz[i], r2[i]))
         # sphere normal AOV misses to black (glsl:350)
-        return sphere_intersector(scene), (0.0, 0.0, 0.0), light_sampler
+        return (sphere_intersector(scene), (0.0, 0.0, 0.0), light_sampler,
+                sphere_anyhit(scene))
     if not isinstance(scene, TriangleScene):
         raise TypeError("triangle config needs a TriangleScene")
     # triangle AOVs miss to magenta (triangle_pathtracing.cs.glsl:340)
-    return triangle_intersector(scene.soup()), (1.0, 0.0, 1.0), None
+    return triangle_intersector(scene.soup()), (1.0, 0.0, 1.0), None, None
 
 
 def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
@@ -158,15 +169,15 @@ def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
     """
     cfg.validate()
     tile_array = jnp.asarray(tile_grid(cfg))
-    intersect, miss_color, light_sampler = make_intersector(cfg, scene)
+    intersect, miss_color, light_sampler, anyhit = make_intersector(cfg, scene)
 
     if backend == "xla":
         fn = partial(_xla_step, cfg, intersect, miss_color, tile_array,
-                     light_sampler=light_sampler)
-    elif backend == "pallas":
+                     light_sampler=light_sampler, intersect_anyhit=anyhit)
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    if backend == "pallas":
+        # Pallas builders return already-jitted steps (they keep per-camera
+        # precomputations outside the jit and cache them host-side).
         from l2n_tpu.ops.kernels import build_pallas_step
-        fn = build_pallas_step(cfg, scene, tile_array)
-    else:
-        raise ValueError(f"unknown backend {backend!r}")
-
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+        return build_pallas_step(cfg, scene, tile_array, donate=donate)
+    raise ValueError(f"unknown backend {backend!r}")

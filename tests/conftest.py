@@ -7,17 +7,24 @@ must be set before jax initializes.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override any ambient TPU platform
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# L2N_TEST_PLATFORM=tpu opts into running the hardware-only tests
+# (tests/test_tpu_hw.py) against a real chip; the default suite runs on the
+# virtual CPU mesh.
+_ON_TPU = os.environ.get("L2N_TEST_PLATFORM") == "tpu"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override any ambient TPU platform
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 # jax may already be imported by a pytest plugin with the ambient platform
 # (env is snapshotted at import time) — force the config directly too.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
