@@ -126,7 +126,7 @@ def main() -> None:
     triangle_ms = None
     if on_tpu:
         from l2n_tpu.render.program import TriangleProgram
-        tri_cfg = cfg.replace(scene_kind="triangle", spp_per_step=1)
+        tri_cfg = cfg.replace(scene_kind="triangle", spp_per_step=4)
         tri = TriangleProgram(tri_cfg, backend=backend)
         tri_state = init_frame_state(tri_cfg)
         tri_state = tri.step(tri_state, camera.packed())
@@ -135,7 +135,8 @@ def main() -> None:
         for _ in range(5):
             tri_state = tri.step(tri_state, camera.packed())
         tri_state.output.block_until_ready()
-        triangle_ms = (time.perf_counter() - t0) / 5 * 1e3
+        triangle_ms = (time.perf_counter() - t0) / 5 * 1e3 \
+            / tri_cfg.spp_per_step
         log(f"triangle scene: {triangle_ms:.1f} ms per full-frame spp")
 
     log(f"{dt * 1e3:.2f} ms/step, {samples_per_sec / 1e6:.1f} Msamples/s, "

@@ -53,10 +53,14 @@ class AnsiDisplay:
         pass
 
 
-class MatplotlibDisplay:  # pragma: no cover - needs a GUI backend
-    """Interactive window when matplotlib is importable."""
+class MatplotlibDisplay:
+    """Interactive window when matplotlib is importable (any backend —
+    under Agg it renders offscreen, which is how tests exercise it)."""
 
-    def __init__(self):
+    def __init__(self, backend: str | None = None):
+        import matplotlib
+        if backend:
+            matplotlib.use(backend)
         import matplotlib.pyplot as plt
         self.plt = plt
         self.fig, self.ax = plt.subplots()

@@ -69,11 +69,17 @@ class RenderConfig:
     ray_epsilon: float = 0.01     # bounce-origin offset (glsl:305)
     env_mode: str = "mandelbrot"  # "mandelbrot" (GPU, glsl:313) | "sun" (CPU, main.cpp:445) | "none"
     env_scale: float = 3.0        # glsl:314
-    # Next event estimation (reference TODO.md wishlist): sample a point on
-    # an emissive sphere at every diffuse vertex and cast a shadow ray;
-    # indirect BSDF emission hits are suppressed (unbiased, no MIS). Sphere
-    # scenes with the threefry sampler only.
+    # Next event estimation (reference TODO.md wishlist): sample the
+    # emissive objects explicitly at every diffuse vertex and cast a shadow
+    # ray. Sphere scenes sample light AREA; triangle scenes sample the SOLID
+    # ANGLE of each emissive mesh's bounding sphere (no per-lane geometry
+    # gathers — TPU-friendly and unbiased for arbitrary meshes). Without
+    # `mis`, indirect BSDF emission hits are suppressed (still unbiased).
     nee: bool = False
+    # Multiple importance sampling (balance heuristic) between the NEE and
+    # BSDF strategies: emission found by BSDF rays and NEE contributions are
+    # both kept, weighted by their pdfs — robust when lights get large.
+    mis: bool = False
 
     # Scene ------------------------------------------------------------------
     scene_kind: str = "sphere"    # "sphere" | "triangle" (renderer combo, main.cpp:976)
@@ -174,10 +180,11 @@ class RenderConfig:
             raise ValueError(f"unknown env_mode {self.env_mode!r}")
         if self.ray_gen not in ("fovy", "viewproj"):
             raise ValueError(f"unknown ray_gen {self.ray_gen!r}")
-        if self.nee and (self.scene_kind != "sphere"
-                         or self.rng not in ("threefry", "tpu_hw")):
-            raise ValueError("nee requires the sphere scene and a stateless "
-                             "sampler (threefry or tpu_hw)")
+        if self.nee and self.rng not in ("threefry", "tpu_hw"):
+            raise ValueError(
+                "nee requires a stateless sampler (threefry or tpu_hw)")
+        if self.mis and not self.nee:
+            raise ValueError("mis requires nee")
         if self.aov not in ("pathtracing", "normal", "ambient_occlusion",
                             "hit", "tex_coords", "param_uv"):
             raise ValueError(f"unknown aov {self.aov!r}")

@@ -6,15 +6,25 @@ A lockstep TPU sweep of all 32k triangles per bounce would be pure VPU burn,
 so this kernel adds the acceleration structure the scene begs for (and the
 reference lacks — beating it is the point):
 
-  1. every mesh gets an exact bounding sphere (the meshes ARE tessellated
-     spheres; bounds are computed from the vertices, so any triangle scene
-     works). A cheap sphere sweep per mesh (the sphere kernel's math) finds
-     whether ANY lane of the tile could hit the mesh closer than its current
-     best — an exact-conservative test;
-  2. only surviving meshes stream their triangle block from HBM into SMEM
-     with an async DMA (the TPU analog of the reference's bindless pointer
-     chase, triangle_pathtracing.cs.glsl:34-36) and run the Möller-Trumbore
-     sweep with per-candidate attribute interpolation (glsl:111-154,186-187).
+  1. PRIMARY casts use the same per-tile cone cull as the sphere kernel,
+     applied to mesh bounding spheres: a host-side, per-camera-cached table
+     lists the meshes whose bounds meet each tile's view cone (typically a
+     handful of 128), and the kernel loops over exactly those.
+  2. BOUNCE casts walk mesh bounds front-to-back with a cheap sqrt-free
+     entry test; a mesh's triangles are swept only when some lane's ray
+     enters its bound closer than that lane's current best. The running
+     best-hit state lives in VMEM scratch and the per-mesh skip is a
+     `pl.when` — no `lax.cond` vector carries (measured ~0.4us per carried
+     (32,128) array on v5e, which made carry-based skipping the dominant
+     cost of round 1's kernel).
+  3. The LAST path segment only feeds the environment test (see
+     ops/pathtrace.py), so it runs a boolean any-hit Möller-Trumbore sweep —
+     no winner tracking, no attribute interpolation.
+
+Surviving meshes stream their triangle block from HBM into SMEM with an
+async DMA (the TPU analog of the reference's bindless pointer chase,
+triangle_pathtracing.cs.glsl:34-36) and run the Möller-Trumbore sweep with
+candidate-time attribute interpolation (glsl:111-154,186-187).
 
 Sky tiles touch zero triangles; typical tiles a handful of meshes.
 """
@@ -22,6 +32,7 @@ Sky tiles touch zero triangles; typical tiles a handful of meshes.
 from __future__ import annotations
 
 from functools import partial
+from types import SimpleNamespace
 
 import numpy as np
 import jax
@@ -49,12 +60,30 @@ _V1, _E1, _E2, _NA, _DNB, _DNC = 0, 3, 6, 9, 12, 15
 _TA, _DTB, _DTC = 18, 20, 22
 _N_ROWS = 24
 
+# Within-mesh spatial clusters (power of two; tpad is a multiple of 128 so
+# cluster size stays register-friendly).
+_CLUSTERS = 4
 
-def pack_mesh_blocks(scene: TriangleScene) -> tuple[np.ndarray, np.ndarray]:
+
+def pack_mesh_blocks(
+        scene: TriangleScene) -> tuple[np.ndarray, np.ndarray, bool]:
     """Pack the soup into per-mesh blocks + bounding spheres.
 
-    Returns (blocks (M, 24, Tpad) f32, bounds (M, 4) f32 [cx cy cz r^2]).
-    Padding triangles are all-zero (degenerate -> det = 0 -> rejected).
+    Returns (blocks (M, 24, Tpad) f32, bounds (M, 4) f32 [cx cy cz r^2],
+    cluster_bounds (M, _CLUSTERS, 5) f32 [cx cy cz r^2 r], inner_gap (M,)
+    f32, sphere_normals). Triangles are
+    spatially clustered within each mesh (see inline comment). Padding
+    triangles are all-zero (degenerate -> det = 0 -> rejected).
+
+    `sphere_normals` is True when every mesh's vertex normals are exactly
+    the unit radial directions of a sphere centered at its bound center —
+    true for the reference's tessellated spheres (src/main.cpp:607-654:
+    position = center + r*normal). Then the interpolated shading normal at
+    barycentric (u, v) is, BY LINEARITY, (hit_point - center)/r — the exact
+    value of the reference's per-candidate interpolation (glsl:186-187) —
+    so kernels can skip the 9 attribute loads + interpolation per triangle
+    candidate and recover normals once per ray. Detected numerically, so
+    OBJ-loaded spheres qualify too and arbitrary meshes fall back.
     """
     soup = {k: np.asarray(v) for k, v in scene.soup().items()}
     mesh_id = soup["mesh_id"]
@@ -77,39 +106,130 @@ def pack_mesh_blocks(scene: TriangleScene) -> tuple[np.ndarray, np.ndarray]:
     assert len(rows) == _N_ROWS
     blocks = np.zeros((m_count, _N_ROWS, tpad), np.float32)
     bounds = np.zeros((m_count, 4), np.float32)
+    # Per-(mesh, cluster) bounding spheres: triangles are reordered within
+    # each mesh into _CLUSTERS spatially compact groups (recursive median
+    # split of centroids along the longest axis) so bounce sweeps can skip
+    # whole quarters of a mesh. Empty clusters get r2 = -1e30 (never
+    # entered).
+    csize = tpad // _CLUSTERS
+    cbounds = np.full((m_count, _CLUSTERS, 5), 0.0, np.float32)
+    cbounds[:, :, 3] = -1e30  # [cx, cy, cz, r^2, r]; empty -> never entered
+
+    def _median_split(order, cents, levels):
+        if levels == 0:
+            return [order]
+        axis = int(np.argmax(cents[order].max(0) - cents[order].min(0)))
+        srt = order[np.argsort(cents[order][:, axis], kind="stable")]
+        half = (len(srt) + 1) // 2
+        return (_median_split(srt[:half], cents, levels - 1)
+                + _median_split(srt[half:], cents, levels - 1))
+
     for m in range(m_count):
-        sel = mesh_id == m
-        n = int(sel.sum())
-        for r, key in enumerate(rows):
-            blocks[m, r, :n] = soup[key][sel]
-        # Exact-conservative bound: min/max box of all triangle corners.
+        sel = np.flatnonzero(mesh_id == m)
+        n = len(sel)
         v1 = np.stack([soup[f"v1{a}"][sel] for a in "xyz"], 1)
         v2 = v1 + np.stack([soup[f"e1{a}"][sel] for a in "xyz"], 1)
         v3 = v1 + np.stack([soup[f"e2{a}"][sel] for a in "xyz"], 1)
+        cents = (v1 + v2 + v3) / 3.0
+        groups = _median_split(np.arange(n), cents,
+                               int(np.log2(_CLUSTERS))) if n else []
+        for c, g in enumerate(groups):
+            if len(g) == 0:
+                continue
+            if len(g) > csize:  # ragged split; spill into the next cluster
+                groups[c + 1] = np.concatenate([g[csize:], groups[c + 1]]) \
+                    if c + 1 < len(groups) else g[csize:]
+                g = g[:csize]
+                groups[c] = g
+            rows_sel = sel[g]
+            base = c * csize
+            for r, key in enumerate(rows):
+                blocks[m, r, base:base + len(g)] = soup[key][rows_sel]
+            pts = np.concatenate([v1[g], v2[g], v3[g]], 0)
+            center = 0.5 * (pts.min(0) + pts.max(0))
+            r2 = float(((pts - center) ** 2).sum(1).max()) * (1.0 + 1e-5)
+            cbounds[m, c] = [center[0], center[1], center[2], r2,
+                             float(np.sqrt(r2))]
+        # Exact-conservative whole-mesh bound.
         pts = np.concatenate([v1, v2, v3], 0)
-        center = 0.5 * (pts.min(0) + pts.max(0))
-        r2 = float(((pts - center) ** 2).sum(1).max()) * (1.0 + 1e-5)
-        bounds[m] = [center[0], center[1], center[2], r2]
-    return blocks, bounds
+        if n:
+            center = 0.5 * (pts.min(0) + pts.max(0))
+            r2 = float(((pts - center) ** 2).sum(1).max()) * (1.0 + 1e-5)
+            bounds[m] = [center[0], center[1], center[2], r2]
+
+    # Inner-sphere certain-hit data for the any-hit sweep: if a mesh is a
+    # CLOSED surface (signed solid angle of its triangles around the bound
+    # center sums to 4pi) then any ray crossing its inscribed sphere
+    # (radius r_in = min plane distance) must hit a triangle — no sweep
+    # needed for such rays. inner_gap = r_out^2 - r_in^2 (so in-kernel
+    # c_inner = c_outer + inner_gap); +BIG disables the shortcut for open /
+    # degenerate meshes.
+    inner_gap = np.full((m_count,), 3.0e30, np.float32)
+    for m in range(m_count):
+        sel = mesh_id == m
+        if not sel.any():
+            continue
+        c = bounds[m, :3]
+        a = v1s_ = np.stack([soup[f"v1{ax}"][sel] for ax in "xyz"], 1) - c
+        b = a + np.stack([soup[f"e1{ax}"][sel] for ax in "xyz"], 1)
+        cc = a + np.stack([soup[f"e2{ax}"][sel] for ax in "xyz"], 1)
+        # van Oosterom-Strackee signed solid angle per triangle.
+        la = np.linalg.norm(a, axis=1)
+        lb = np.linalg.norm(b, axis=1)
+        lc = np.linalg.norm(cc, axis=1)
+        num = np.einsum("ij,ij->i", a, np.cross(b, cc))
+        den = (la * lb * lc + np.einsum("ij,ij->i", a, b) * lc
+               + np.einsum("ij,ij->i", a, cc) * lb
+               + np.einsum("ij,ij->i", b, cc) * la)
+        omega = 2.0 * np.arctan2(num, den)
+        # Degenerate triangles (e.g. the tessellation's pole slivers)
+        # subtend nothing but can hit the atan2(0, -x) = pi branch.
+        area2 = np.linalg.norm(np.cross(b - a, cc - a), axis=1)
+        omega = np.where(area2 > 1e-12, omega, 0.0)
+        if abs(abs(float(omega.sum())) - 4.0 * np.pi) > 1e-2:
+            continue  # not closed around the center
+        n_geo = np.cross(b - a, cc - a)
+        ln = np.linalg.norm(n_geo, axis=1)
+        # Exclude slivers (relative area cutoff): their plane normals are
+        # numerical noise. A crossing that lands exactly on such a sliver
+        # (or in a Möller-Trumbore epsilon crack between faces) diverges
+        # from the per-triangle sweep at isolated pixels — the same class
+        # of boundary divergence the statistical parity gates budget for.
+        ok = ln > 1e-6 * float(ln.max())
+        if not ok.any():
+            continue
+        plane_d = np.abs(np.einsum("ij,ij->i", n_geo[ok], a[ok])) / ln[ok]
+        r_in = float(plane_d.min())
+        if r_in > 0.0:
+            inner_gap[m] = bounds[m, 3] - r_in * r_in
+
+    # Sphere-normal detection (see docstring): per corner k of every
+    # triangle, normal_k == (vertex_k - center_m) / r_m within tolerance.
+    sphere_normals = True
+    na = np.stack([soup[f"na{a}"] for a in "xyz"], 1)
+    nb = na + np.stack([soup[f"dnb{a}"] for a in "xyz"], 1)
+    nc = na + np.stack([soup[f"dnc{a}"] for a in "xyz"], 1)
+    v1s = np.stack([soup[f"v1{a}"] for a in "xyz"], 1)
+    v2s = v1s + np.stack([soup[f"e1{a}"] for a in "xyz"], 1)
+    v3s = v1s + np.stack([soup[f"e2{a}"] for a in "xyz"], 1)
+    for m in range(m_count):
+        sel = mesh_id == m
+        c = bounds[m, :3]
+        rs = np.sqrt(((v1s[sel] - c) ** 2).sum(1))
+        r = float(rs.mean()) if rs.size else 0.0
+        if r <= 0.0 or float(np.abs(rs - r).max()) > 1e-3 * r:
+            sphere_normals = False
+            break
+        for v, nrm in ((v1s, na), (v2s, nb), (v3s, nc)):
+            if float(np.abs((v[sel] - c) / r - nrm[sel]).max()) > 1e-4:
+                sphere_normals = False
+                break
+        if not sphere_normals:
+            break
+    return blocks, bounds, cbounds, inner_gap, sphere_normals
 
 
-def _bound_lower_t(ox, oy, oz, dx, dy, dz, cx, cy, cz, r2):
-    """Conservative lower bound on any hit-t inside the bounding sphere:
-    max(entry_t, 0) when the ray meets the sphere, else +BIG."""
-    f32 = jnp.float32
-    big = f32(3.0e38)
-    rox, roy, roz = ox - cx, oy - cy, oz - cz
-    hb = rox * dx + roy * dy + roz * dz
-    c = rox * rox + roy * roy + roz * roz - r2
-    disc = hb * hb - c
-    sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
-    t_entry = -hb - sq
-    t_exit = sq - hb
-    hit = (disc >= 0.0) & (t_exit >= 0.0)
-    return jnp.where(hit, jnp.maximum(t_entry, f32(0.0)), big)
-
-
-def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, tpad,
+def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, start, count,
                 want_texcoords):
     """Möller-Trumbore over one SMEM-resident mesh block, tracking the
     running best hit with candidate-time attribute interpolation.
@@ -157,68 +277,290 @@ def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, tpad,
                 btu, btv,
                 jnp.where(better, jnp.int32(m), bmesh))
 
-    return jax.lax.fori_loop(0, tpad, tri, carry)
+    return jax.lax.fori_loop(start, start + count, tri, carry)
 
 
-def _kernel(cfg, mesh_count, tpad, *refs):
+def _sweep_mesh_fast(blk, m, carry, ox, oy, oz, dx, dy, dz, start, count):
+    """Möller-Trumbore sweep tracking ONLY (best_t, best_mesh) — for scenes
+    with sphere-exact vertex normals (pack_mesh_blocks), where the shading
+    normal is recovered per ray as (hit_point - center)/r instead of being
+    interpolated per candidate. 9 scalar loads per triangle instead of 18
+    (the sweep is SMEM-fetch bound) and 2 running selects instead of 9."""
+    f32 = jnp.float32
+    big = f32(3.0e38)
+    eps = f32(1e-6)
+
+    def tri(t, carry):
+        bt, bmesh = carry
+        v1x, v1y, v1z = blk[_V1, t], blk[_V1 + 1, t], blk[_V1 + 2, t]
+        e1x, e1y, e1z = blk[_E1, t], blk[_E1 + 1, t], blk[_E1 + 2, t]
+        e2x, e2y, e2z = blk[_E2, t], blk[_E2 + 1, t], blk[_E2 + 2, t]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        det_ok = jnp.abs(det) >= eps
+        rcp = f32(1.0) / jnp.where(det_ok, det, f32(1.0))
+        tx, ty, tz = ox - v1x, oy - v1y, oz - v1z
+        u = (tx * px + ty * py + tz * pz) * rcp
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * rcp
+        th = (e2x * qx + e2y * qy + e2z * qz) * rcp
+        valid = (det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                 & (u + v <= 1.0) & (th >= eps))
+        th = jnp.where(valid, th, big)
+        better = th < bt
+        return (jnp.where(better, th, bt),
+                jnp.where(better, jnp.int32(m), bmesh))
+
+    return jax.lax.fori_loop(start, start + count, tri, carry)
+
+
+def _anyhit_mesh(blk, any_hit, ox, oy, oz, dx, dy, dz, start, count):
+    """Boolean Möller-Trumbore sweep: does the ray hit ANY triangle of the
+    SMEM-resident mesh block? No winner tracking, no interpolation."""
+    f32 = jnp.float32
+    eps = f32(1e-6)
+
+    def tri(t, any_hit):
+        v1x, v1y, v1z = blk[_V1, t], blk[_V1 + 1, t], blk[_V1 + 2, t]
+        e1x, e1y, e1z = blk[_E1, t], blk[_E1 + 1, t], blk[_E1 + 2, t]
+        e2x, e2y, e2z = blk[_E2, t], blk[_E2 + 1, t], blk[_E2 + 2, t]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        det_ok = jnp.abs(det) >= eps
+        rcp = f32(1.0) / jnp.where(det_ok, det, f32(1.0))
+        tx, ty, tz = ox - v1x, oy - v1y, oz - v1z
+        u = (tx * px + ty * py + tz * pz) * rcp
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * rcp
+        th = (e2x * qx + e2y * qy + e2z * qz) * rcp
+        valid = (det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                 & (u + v <= 1.0) & (th >= eps))
+        return any_hit | valid.astype(jnp.int32)
+
+    return jax.lax.fori_loop(start, start + count, tri, any_hit)
+
+
+def _bound_enter(ox, oy, oz, dx, dy, dz, cx, cy, cz, r2):
+    """Sqrt-free conservative tests against a bounding sphere. Returns
+    (enter, hb, c): `enter` is True iff the ray meets the bound with some
+    t >= 0 (origin inside, or bound ahead with a real root).
+
+    The discriminant test is written `hb*hb - c >= 0` (NOT `hb*hb >= c`) so
+    dead lanes parked at 3e30 (pathtrace.py) overflow to inf - inf = NaN and
+    compare false — otherwise inf >= inf is TRUE and dead lanes vote to
+    sweep meshes nobody will merge."""
+    rox, roy, roz = ox - cx, oy - cy, oz - cz
+    hb = rox * dx + roy * dy + roz * dz
+    c = rox * rox + roy * roy + roz * roz - r2
+    enter = (c < 0.0) | ((hb < 0.0) & (hb * hb - c >= 0.0))
+    return enter, hb, c
+
+
+def _kernel(cfg, mesh_count, tpad, fast, *refs):
     if not cfg.rng_stateful:
-        (sched_ref, order_ref, cam_ref, bcx_ref, bcy_ref, bcz_ref, br2_ref,
-         blocks_hbm, accum_in, _out_in, accum_out, out_out,
-         smem_blk, dma_sem) = refs
+        (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
+         br2_ref, brad_ref, ccb_ref, gap_ref, blocks_hbm, accum_in, _out_in,
+         accum_out, out_out, smem_blk, dma_sem, best_f, best_i) = refs
         rng_in = rng_out = None
     else:
-        (sched_ref, order_ref, cam_ref, bcx_ref, bcy_ref, bcz_ref, br2_ref,
-         blocks_hbm, accum_in, _out_in, rng_in, accum_out, out_out, rng_out,
-         smem_blk, dma_sem) = refs
+        (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
+         br2_ref, brad_ref, ccb_ref, gap_ref, blocks_hbm, accum_in, _out_in,
+         rng_in, accum_out, out_out, rng_out, smem_blk, dma_sem, best_f,
+         best_i) = refs
 
     f32 = jnp.float32
     big = f32(3.0e38)
     i = pl.program_id(0)
     tile_x = sched_ref[i, 0]
     tile_y = sched_ref[i, 1]
+    tid = tile_y * jnp.int32(cfg.tile_count_x) + tile_x
     row, col = tile_pixel_coords(cfg, tile_x, tile_y)
     pixel_index = (col + row * jnp.int32(cfg.padded_width)).astype(jnp.uint32)
     # Scalar: counts are tile-uniform (see sphere_pt), and tpu_hw seeds on it.
     sample_index = accum_in[3, 0, 0].astype(jnp.int32).astype(jnp.uint32)
 
     shape = (cfg.tile_height, cfg.tile_width)
+    want_tc = cfg.aov in ("tex_coords",)
+    zero = jnp.zeros(shape, f32)
 
-    def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
-        zero = jnp.zeros(shape, f32)
-        init = (jnp.full(shape, big, f32), zero, zero, zero, zero, zero,
-                zero, zero, jnp.full(shape, -1, jnp.int32))
+    def dma_mesh(m):
+        # One contiguous block copy (a strided sub-slice DMA measured
+        # slower than moving the few extra attribute rows).
+        cp = pltpu.make_async_copy(blocks_hbm.at[m], smem_blk, dma_sem)
+        cp.start()
+        cp.wait()
 
-        def per_mesh(j, carry):
-            # Walk meshes front-to-back (camera-distance order computed per
-            # step): the running best_t then rejects most far bounds.
-            m = order_ref[j]
-            lower = _bound_lower_t(ox, oy, oz, dx, dy, dz, bcx_ref[m],
-                                   bcy_ref[m], bcz_ref[m], br2_ref[m])
-            # Exact-conservative cull: the mesh can matter only for lanes
-            # whose bound entry is closer than their current best.
-            needed = jnp.any(lower < carry[0])
+    def init_best():
+        best_f[0] = jnp.full(shape, big, f32)
+        if not fast:
+            for p in range(1, 8):
+                best_f[p] = zero
+        best_i[0] = jnp.full(shape, -1, jnp.int32)
 
-            def sweep(carry):
-                dma = pltpu.make_async_copy(blocks_hbm.at[m], smem_blk,
-                                            dma_sem)
-                dma.start()
-                dma.wait()
-                return _sweep_mesh(smem_blk, m, carry, ox, oy, oz,
-                                   dx, dy, dz, tpad,
-                                   cfg.aov in ("tex_coords",))
+    def read_best():
+        if fast:
+            return (best_f[0], best_i[0])
+        return (best_f[0], best_f[1], best_f[2], best_f[3], best_f[4],
+                best_f[5], best_f[6], best_f[7], best_i[0])
 
-            return jax.lax.cond(needed, sweep, lambda c: c, carry)
+    def write_best(carry):
+        if fast:
+            best_f[0] = carry[0]
+            best_i[0] = carry[1]
+            return
+        for p in range(8):
+            best_f[p] = carry[p]
+        best_i[0] = carry[8]
 
-        bt, bu, bv, nx, ny, nz, tu, tv, bmesh = jax.lax.fori_loop(
-            0, mesh_count, per_mesh, init)
+    csize = tpad // _CLUSTERS
+
+    def sweep(m, ox, oy, oz, dx, dy, dz):
+        # Second cull level: within the DMA'd mesh, sweep only the spatial
+        # clusters whose bounds some lane's ray enters closer than its best.
+        for c in range(_CLUSTERS):
+            entc, hbc, _ = _bound_enter(
+                ox, oy, oz, dx, dy, dz, ccb_ref[m, c, 0], ccb_ref[m, c, 1],
+                ccb_ref[m, c, 2], ccb_ref[m, c, 3])
+            lowc = jnp.maximum(-hbc - ccb_ref[m, c, 4], jnp.float32(0.0))
+
+            @pl.when(jnp.any(entc & (lowc < best_f[0])))
+            def _one(c=c):
+                if fast:
+                    write_best(_sweep_mesh_fast(
+                        smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
+                        c * csize, csize))
+                else:
+                    write_best(_sweep_mesh(
+                        smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
+                        c * csize, csize, want_tc))
+
+    def finish(ox, oy, oz, dx, dy, dz) -> Hit:
+        if fast:
+            bt, bmesh = read_best()
+            hit = bt < big
+            bt = jnp.where(hit, bt, f32(-1.0))
+            # Recover the winner's center/radius with one scalar pass over
+            # the meshes (5 vector ops each) instead of carrying them
+            # through every triangle candidate.
+            cx = zero
+            cy = zero
+            cz = zero
+            rr = zero
+
+            def pick(m, carry):
+                cx, cy, cz, rr = carry
+                is_m = bmesh == m
+                return (jnp.where(is_m, bcx_ref[m], cx),
+                        jnp.where(is_m, bcy_ref[m], cy),
+                        jnp.where(is_m, bcz_ref[m], cz),
+                        jnp.where(is_m, f32(1.0) / brad_ref[m], rr))
+
+            cx, cy, cz, rr = jax.lax.fori_loop(0, mesh_count, pick,
+                                               (cx, cy, cz, rr))
+            # Shading normal == the reference's interpolated vertex normal,
+            # by linearity (pack_mesh_blocks docstring): (p - c)/r.
+            hx = ox + bt * dx
+            hy = oy + bt * dy
+            hz = oz + bt * dz
+            return Hit(t=bt, px=hx, py=hy, pz=hz,
+                       nx=(hx - cx) * rr, ny=(hy - cy) * rr,
+                       nz=(hz - cz) * rr, index=bmesh,
+                       emis_r2=jnp.ones(shape, f32),  # glsl:268
+                       tc_u=zero, tc_v=zero, b_u=zero, b_v=zero)
+        bt, bu, bv, nx, ny, nz, tu, tv, bmesh = read_best()
         hit = bt < big
         bt = jnp.where(hit, bt, f32(-1.0))
-        return Hit(t=bt, px=ox + bt * dx, py=oy + bt * dy, pz=oz + bt * dz,
+        return Hit(t=bt, px=zero, py=zero, pz=zero,
                    nx=nx, ny=ny, nz=nz, index=bmesh,
                    emis_r2=jnp.ones(shape, f32),  # glsl:268: sqrRadius = 1
                    tc_u=tu, tc_v=tv, b_u=bu, b_v=bv)
 
-    sum_r = sum_g = sum_b = jnp.zeros(shape, f32)
+    def intersect_primary(ox, oy, oz, dx, dy, dz) -> Hit:
+        # Cone-culled: the host table lists the meshes whose bounds meet
+        # this tile's view cone, in tile-id order (see sphere_pt's
+        # full_visibility_table — same machinery over mesh bounds).
+        init_best()
+        n_vis = vis_ref[tid, 0]
+
+        def per_vis(j, _):
+            m = vis_ref[tid, 1 + j]
+            dma_mesh(m)
+            sweep(m, ox, oy, oz, dx, dy, dz)
+            return _
+
+        jax.lax.fori_loop(0, n_vis, per_vis, jnp.int32(0))
+        return finish(ox, oy, oz, dx, dy, dz)
+
+    def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
+        # Bounce nearest-hit: walk bounds front-to-back (per-camera order
+        # from the host); sweep a mesh only when some lane's ray enters its
+        # bound closer than that lane's current best.
+        init_best()
+
+        def per_mesh(j, _):
+            m = order_ref[j]
+            enter, hb, _c = _bound_enter(ox, oy, oz, dx, dy, dz, bcx_ref[m],
+                                         bcy_ref[m], bcz_ref[m], br2_ref[m])
+            # Conservative sqrt-free lower bound on any hit t inside the
+            # bound: -hb - radius <= t_entry.
+            lower = jnp.maximum(-hb - brad_ref[m], f32(0.0))
+            needed = jnp.any(enter & (lower < best_f[0]))
+
+            @pl.when(needed)
+            def _sweep():
+                dma_mesh(m)
+                sweep(m, ox, oy, oz, dx, dy, dz)
+
+            return _
+
+        jax.lax.fori_loop(0, mesh_count, per_mesh, jnp.int32(0))
+        return finish(ox, oy, oz, dx, dy, dz)
+
+    def intersect_anyhit(ox, oy, oz, dx, dy, dz):
+        # Boolean sweep for the last segment (env test only). Reuses the
+        # best_i scratch plane as the per-lane hit accumulator.
+        best_i[0] = jnp.zeros(shape, jnp.int32)
+
+        def per_mesh(j, _):
+            m = order_ref[j]
+            enter, hb, c = _bound_enter(ox, oy, oz, dx, dy, dz, bcx_ref[m],
+                                        bcy_ref[m], bcz_ref[m], br2_ref[m])
+            # Certain hit without any triangle test: the ray crosses the
+            # mesh's inscribed sphere and the mesh is closed (see
+            # pack_mesh_blocks): it MUST cross the surface in between.
+            c_in = c + gap_ref[m]
+            cross = (c_in < 0.0) | ((hb < 0.0) & (hb * hb - c_in >= 0.0))
+            best_i[0] = best_i[0] | cross.astype(jnp.int32)
+            needed = jnp.any(enter & ~cross & (best_i[0] == 0))
+
+            @pl.when(needed)
+            def _sweep():
+                dma_mesh(m)
+                for c in range(_CLUSTERS):
+                    entc, _h, _c2 = _bound_enter(
+                        ox, oy, oz, dx, dy, dz, ccb_ref[m, c, 0],
+                        ccb_ref[m, c, 1], ccb_ref[m, c, 2], ccb_ref[m, c, 3])
+
+                    @pl.when(jnp.any(entc & (best_i[0] == 0)))
+                    def _one(c=c):
+                        best_i[0] = _anyhit_mesh(
+                            smem_blk, best_i[0], ox, oy, oz, dx, dy, dz,
+                            c * csize, csize)
+
+            return _
+
+        jax.lax.fori_loop(0, mesh_count, per_mesh, jnp.int32(0))
+        return best_i[0] != 0
+
+    sum_r = sum_g = sum_b = zero
     finalize = lambda: None
     for s in range(cfg.spp_per_step):
         sampler, finalize = make_kernel_sampler(
@@ -228,7 +570,9 @@ def _kernel(cfg, mesh_count, tpad, *refs):
                              u1, u2)
         r, g, b = shade(cfg, intersect, sampler, *rays,
                         miss_color=(1.0, 0.0, 1.0),
-                        skip_empty=cfg.skip_empty_tiles)
+                        skip_empty=cfg.skip_empty_tiles,
+                        intersect_primary=intersect_primary,
+                        intersect_anyhit=intersect_anyhit)
         sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
         if cfg.rng_stateful and s + 1 < cfg.spp_per_step:
             finalize()
@@ -248,31 +592,49 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
     stateful = cfg.rng_stateful
     rng_planes = 8 if cfg.rng == "tinymt" else 4
 
-    blocks_np, bounds_np = pack_mesh_blocks(scene)
+    (blocks_np, bounds_np, cbounds_np, inner_gap_np,
+     sphere_normals) = pack_mesh_blocks(scene)
+    # Fast (t, mesh)-only sweeps apply when normals are recoverable from
+    # mesh centers and no AOV needs texcoords/barycentrics.
+    fast = sphere_normals and cfg.aov not in ("tex_coords", "param_uv")
     mesh_count, _, tpad = blocks_np.shape
     blocks = jnp.asarray(blocks_np)
     bounds = [jnp.asarray(bounds_np[:, j]) for j in range(4)]
+    bradius = jnp.sqrt(bounds[3])
+    cbounds = jnp.asarray(cbounds_np)
+    inner_gap = jnp.asarray(inner_gap_np)
+
+    # The cone-cull table machinery is shared with the sphere kernel: mesh
+    # bounding spheres ARE spheres.
+    from l2n_tpu.ops.kernels.sphere_pt import full_visibility_table
+    bounds_scene = SimpleNamespace(
+        center_x=bounds[0], center_y=bounds[1], center_z=bounds[2],
+        sqr_radius=bounds[3], count=mesh_count)
+    table_fn = jax.jit(partial(full_visibility_table, cfg, bounds_scene))
 
     def tile_map(planes):
         return pl.BlockSpec(
             (planes, th, tw),
-            lambda i, sched, order: (0, sched[i, 1], sched[i, 0]),
+            lambda i, sched, vis: (0, sched[i, 1], sched[i, 0]),
             memory_space=pltpu.VMEM)
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [smem(),                          # camera
-                smem(), smem(), smem(), smem(),  # mesh bounds SoA
+                smem(),                          # front-to-back order (M,)
+                smem(), smem(), smem(), smem(), smem(),  # bounds SoA + radius
+                smem(),                          # cluster bounds (M, C, 5)
+                smem(),                          # inner_gap (M,)
                 pl.BlockSpec(memory_space=pl.ANY),  # triangle blocks (HBM)
                 tile_map(4), tile_map(3)]
     out_specs = [tile_map(4), tile_map(3)]
     out_shape = [jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
                  jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)]
-    aliases = {8: 0, 9: 1}  # indices include the 2 scalar-prefetch operands
+    aliases = {12: 0, 13: 1}  # indices include the 2 scalar-prefetch operands
     if stateful:
         in_specs.append(tile_map(rng_planes))
         out_specs.append(tile_map(rng_planes))
         out_shape.append(jax.ShapeDtypeStruct((rng_planes, hp, wp), jnp.uint32))
-        aliases[10] = 2
+        aliases[14] = 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -282,21 +644,23 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
         scratch_shapes=[
             pltpu.SMEM((_N_ROWS, tpad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((1 if fast else 8, th, tw), jnp.float32),  # best hit
+            pltpu.VMEM((1, th, tw), jnp.int32),     # best mesh / any-hit
         ],
     )
 
     call = pl.pallas_call(
-        partial(_kernel, cfg, mesh_count, tpad),
+        partial(_kernel, cfg, mesh_count, tpad, fast),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
         interpret=interpret_mode(),
     )
 
-    def kernel_step(state: FrameState, camera, order) -> FrameState:
+    def kernel_step(state: FrameState, camera, table, order) -> FrameState:
         sched = scheduled_tiles(tile_array, state.tile_offset, k)
-        args = [sched, order, camera, *bounds, blocks,
-                state.accum, state.output]
+        args = [sched, table, camera, order, *bounds, bradius, cbounds,
+                inner_gap, blocks, state.accum, state.output]
         if stateful:
             args.append(state.rng_state)
         outs = call(*args)
@@ -314,7 +678,7 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
     def mesh_order(camera: np.ndarray) -> jnp.ndarray:
         # Front-to-back mesh order for this camera (distance to bound
         # centers minus radius, ascending) — a pure camera function, cached
-        # per camera like the sphere kernel's visibility table.
+        # per camera like the visibility table.
         from l2n_tpu.camera.camera import ROW_POSITION
         pos = camera[ROW_POSITION, :3]
         d = (np.sqrt(((bounds_np4[:, :3] - pos) ** 2).sum(1))
@@ -325,13 +689,14 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
 
     def step(state: FrameState, camera) -> FrameState:
         # Device-residency cache (see sphere_pt.build_sphere_step): one
-        # camera upload + one front-to-back sort per camera move.
+        # camera upload + one table build + one sort per camera move.
         camera = np.asarray(camera, np.float32)
         key = camera.tobytes()
         entry = cache.get(key)
         if entry is None:
             cache.clear()  # one live camera at a time
-            entry = (jnp.asarray(camera), mesh_order(camera))
+            cam_dev = jnp.asarray(camera)
+            entry = (cam_dev, table_fn(cam_dev), mesh_order(camera))
             cache[key] = entry
         return jit_step(state, *entry)
 
