@@ -89,6 +89,12 @@ class RenderConfig:
     disc_lat: int = 16            # tessellation, src/main.cpp:733
     disc_long: int = 8            # src/main.cpp:734
 
+    # Shading model. "procedural" = the reference's hashed-albedo Lambert
+    # (glsl:215-222,292-300); "microfacet" = GGX/Smith specular over a
+    # Lambert base with per-object procedural roughness (the reference's
+    # TODO.md:5 wishlist item), importance-sampled as a two-lobe mixture.
+    material_mode: str = "procedural"
+
     # Ray generation: "fovy" = the GPU kernel's inverse-view + tan(fovy/2)
     # trick (sphere_pathtracing.cs.glsl:378-384); "viewproj" = the CPU
     # renderer's full inverse view-projection (src/main.cpp:562-567).
@@ -185,6 +191,8 @@ class RenderConfig:
                 "nee requires a stateless sampler (threefry or tpu_hw)")
         if self.mis and not self.nee:
             raise ValueError("mis requires nee")
+        if self.material_mode not in ("procedural", "microfacet"):
+            raise ValueError(f"unknown material_mode {self.material_mode!r}")
         if self.aov not in ("pathtracing", "normal", "ambient_occlusion",
                             "hit", "tex_coords", "param_uv"):
             raise ValueError(f"unknown aov {self.aov!r}")

@@ -70,4 +70,9 @@ def available() -> bool:
         return False
 
 
-from l2n_tpu.native.api import NativeRenderer, threefry2x32_native, tinymt_uint32_native  # noqa: E402,F401
+from l2n_tpu.native.api import (  # noqa: E402,F401
+    NativeRenderer,
+    NativeTriangleRenderer,
+    threefry2x32_native,
+    tinymt_uint32_native,
+)

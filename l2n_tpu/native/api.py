@@ -143,3 +143,90 @@ class NativeRenderer:
         output[...] = out_c
         if rng_c is not None:
             rng_state[...] = rng_c
+
+
+@dataclasses.dataclass
+class NativeTriangleRenderer:
+    """Native multithreaded TRIANGLE-scene renderer.
+
+    The reference's CPU renderer is sphere-only (src/main.cpp:206-599);
+    this extends the native tier so both scene families have three
+    independent implementations (Pallas kernel, XLA oracle, C++).
+    """
+
+    cfg: object            # RenderConfig (scene_kind "triangle")
+    scene: object          # TriangleScene
+    tiles: np.ndarray      # (T, 2) int32
+    num_threads: int = 0
+
+    def __post_init__(self):
+        self.lib = native_mod.load()
+        self.tiles = np.ascontiguousarray(self.tiles, np.int32)
+        soup = {k: np.asarray(v) for k, v in self.scene.soup().items()}
+        cols = ["v1x", "v1y", "v1z", "e1x", "e1y", "e1z",
+                "e2x", "e2y", "e2z", "nax", "nay", "naz"]
+        base = np.stack([soup[c] for c in cols], axis=1)
+        dnb = np.stack([soup[f"nb{a}"] - soup[f"na{a}"] for a in "xyz"],
+                       axis=1)
+        dnc = np.stack([soup[f"nc{a}"] - soup[f"na{a}"] for a in "xyz"],
+                       axis=1)
+        self.tri_data = np.ascontiguousarray(
+            np.concatenate([base, dnb, dnc], axis=1), np.float32)
+        self.mesh_ids = np.ascontiguousarray(soup["mesh_id"], np.int32)
+        cfg = self.cfg
+        from l2n_tpu.rng.sampler import max_pairs_per_sample
+        self._c = _CConfig(
+            width=cfg.width, height=cfg.height,
+            buf_width=cfg.padded_width, buf_height=cfg.padded_height,
+            tile_width=cfg.tile_width, tile_height=cfg.tile_height,
+            max_bounces=cfg.max_bounces,
+            emissive_every=cfg.emissive_every,
+            emission_scale=cfg.emission_scale,
+            rr_ceiling=cfg.rr_ceiling,
+            ray_epsilon=cfg.ray_epsilon,
+            env_mode=_ENV_MODES[cfg.env_mode],
+            env_scale=cfg.env_scale,
+            gamma=cfg.gamma,
+            rng_mode=_RNG_MODES[cfg.rng],
+            seed=cfg.seed, stream=0,
+            max_pairs=max_pairs_per_sample(cfg.max_bounces, cfg.nee),
+            ray_gen=_RAY_GEN[cfg.ray_gen],
+            aov=_AOVS.get(cfg.aov, 0),
+            nee=int(cfg.nee),
+        )
+        if cfg.nee:
+            raise NotImplementedError(
+                "the native triangle renderer does not mirror cone NEE")
+
+    def render_tiles(self, accum: np.ndarray, output: np.ndarray,
+                     camera_packed: np.ndarray, offset: int, count: int,
+                     rng_state: np.ndarray | None = None) -> None:
+        accum_c = np.ascontiguousarray(accum, np.float32)
+        out_c = np.ascontiguousarray(output, np.float32)
+        cam = _f32(camera_packed)
+        if self._c.rng_mode == 1:
+            if rng_state is None:
+                raise ValueError("tinymt mode needs rng_state planes")
+            rng_c = np.ascontiguousarray(rng_state, np.uint32)
+            rng_ptr = rng_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+        else:
+            rng_c = None
+            rng_ptr = None
+        rc = self.lib.l2n_render_tiles_tri(
+            ctypes.byref(self._c),
+            self.tri_data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.mesh_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(self.tri_data.shape[0]),
+            cam.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.tiles.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(self.tiles.shape[0]),
+            ctypes.c_int32(offset), ctypes.c_int32(count),
+            accum_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rng_ptr, ctypes.c_int32(self.num_threads))
+        if rc != 0:
+            raise RuntimeError(f"native triangle render failed: {rc}")
+        accum[...] = accum_c
+        output[...] = out_c
+        if rng_c is not None:
+            rng_state[...] = rng_c

@@ -406,44 +406,127 @@ V3 trace_path(const Config& cfg, const float* spheres, int n, V3 org, V3 dir,
   return col;
 }
 
-}  // namespace
+// ---------------------------------------------------------------------------
+// Triangle scene (the reference's second renderer,
+// src/shaders/triangle_pathtracing.cs.glsl): flat triangle soup with
+// precomputed edges + affine attribute deltas, Möller-Trumbore nearest hit,
+// interpolated UNNORMALIZED normals (glsl:186-187), emissive sqrRadius = 1
+// (glsl:268). Layout per triangle (18 floats):
+//   v1(3) e1(3) e2(3) na(3) dnb(3) dnc(3); mesh ids ride separately.
+// ---------------------------------------------------------------------------
 
-extern "C" {
+struct TriSceneView {
+  const float* tris;
+  const int32_t* mesh;
+  int32_t count;
 
-// RNG entry points for parity tests -----------------------------------------
+  // Triangle AOVs miss to magenta (triangle_pathtracing.cs.glsl:340).
+  V3 normal_miss() const { return {1.0f, 0.0f, 1.0f}; }
 
-void l2n_threefry2x32(uint32_t k0, uint32_t k1, const uint32_t* x0,
-                      const uint32_t* x1, uint32_t* o0, uint32_t* o1,
-                      int64_t n) {
-  for (int64_t i = 0; i < n; ++i)
-    threefry2x32(k0, k1, x0[i], x1[i], &o0[i], &o1[i]);
-}
-
-void l2n_tinymt_uint32(uint32_t mat1, uint32_t mat2, uint32_t tmat,
-                       uint32_t seed, uint32_t* out, int64_t n) {
-  TinyMT r{{0, 0, 0, 0}, mat1, mat2, tmat};
-  tinymt_init(&r, seed);
-  for (int64_t i = 0; i < n; ++i) {
-    tinymt_next(&r);
-    out[i] = tinymt_temper(&r);
+  Hit intersect(V3 org, V3 dir) const {
+    const float kEps = 1e-6f;
+    Hit h{-1.0f, {0, 0, 0}, -1, 1.0f};
+    float best = 3.0e38f;
+    float bu = 0.0f, bv = 0.0f;
+    int32_t bi = -1;
+    for (int32_t i = 0; i < count; ++i) {
+      const float* d = tris + 18 * i;
+      V3 v1{d[0], d[1], d[2]};
+      V3 e1{d[3], d[4], d[5]};
+      V3 e2{d[6], d[7], d[8]};
+      V3 pv = cross(dir, e2);
+      float det = dot(e1, pv);
+      if (std::fabs(det) < kEps) continue;
+      float rcp = 1.0f / det;
+      V3 tv = org - v1;
+      float u = dot(tv, pv) * rcp;
+      if (u < 0.0f || u > 1.0f) continue;
+      V3 qv = cross(tv, e1);
+      float v = dot(dir, qv) * rcp;
+      if (v < 0.0f || u + v > 1.0f) continue;
+      float th = dot(e2, qv) * rcp;
+      if (th < kEps || th >= best) continue;
+      best = th;
+      bu = u;
+      bv = v;
+      bi = i;
+    }
+    if (bi >= 0) {
+      const float* d = tris + 18 * bi;
+      h.t = best;
+      h.n = {d[9] + bu * d[12] + bv * d[15],
+             d[10] + bu * d[13] + bv * d[16],
+             d[11] + bu * d[14] + bv * d[17]};
+      h.index = mesh[bi];
+      h.r2 = 1.0f;  // glsl:268
+    }
+    return h;
   }
+};
+
+struct SphereSceneView {
+  const float* spheres;
+  int32_t count;
+  // Sphere normal AOV misses to black (sphere_pathtracing.cs.glsl:350).
+  V3 normal_miss() const { return {0.0f, 0.0f, 0.0f}; }
+  Hit intersect(V3 org, V3 dir) const {
+    return intersect_scene(spheres, count, org, dir);
+  }
+};
+
+// trace_path for scenes without the sphere NEE path (triangle scenes; the
+// sphere variant with NEE keeps its own function above). Same structure as
+// the GPU kernels (glsl:250-299).
+template <class SceneT>
+V3 trace_path_generic(const Config& cfg, const SceneT& scene, V3 org, V3 dir,
+                      Sampler* rng) {
+  V3 tp{1, 1, 1}, col{0, 0, 0};
+  Hit h = scene.intersect(org, dir);
+  float dist = h.t;
+  for (int bounce = 0; bounce < cfg.max_bounces && dist >= 0.0f; ++bounce) {
+    if (h.index % cfg.emissive_every == 0) {
+      float e = cfg.emission_scale / (4.0f * kPi * h.r2);
+      col = col + V3{e * tp.x, e * tp.y, e * tp.z};
+      dist = -2.0f;
+      break;
+    }
+    V3 t, b;
+    frame_z(h.n, &t, &b);
+    org = org + h.t * dir;
+    float u1, u2;
+    rng->draw2(&u1, &u2);
+    V3 l = cosine_hemisphere(u1, u2);
+    V3 kd = albedo_of(h.index);
+    dir = normalize(V3{t.x * l.x + b.x * l.y + h.n.x * l.z,
+                       t.y * l.x + b.y * l.y + h.n.y * l.z,
+                       t.z * l.x + b.z * l.y + h.n.z * l.z});
+    tp = {tp.x * kd.x, tp.y * kd.y, tp.z * kd.z};
+    float rr = rng->draw1();
+    float p = luminance(tp);
+    if (p > cfg.rr_ceiling) p = cfg.rr_ceiling;
+    if (rr < p) {
+      tp = (1.0f / p) * tp;
+      h = scene.intersect(org + cfg.ray_epsilon * dir, dir);
+      dist = h.t;
+    } else {
+      dist = -2.0f;
+    }
+  }
+  if (dist == -1.0f && h.index % cfg.emissive_every != 0 &&
+      cfg.env_mode != 0) {
+    float le = cfg.env_mode == 1 ? mandelbrot_le(dir) : sun_le(dir);
+    col = col + (cfg.env_scale * le) * tp;
+  }
+  return col;
 }
 
-// The renderer ----------------------------------------------------------------
-//
-// accum/output are channel-major planes matching FrameState: accum
-// (4, buf_height, buf_width), output (3, ...). camera is the packed (10, 4)
-// block. tiles is (tile_count, 2) int32 (tx, ty); renders `count` tiles
-// starting at `offset` with wraparound — renderTiles semantics
-// (main.cpp:516-592). rng_state (tinymt mode): (8, H, W) uint32 planes,
-// stepped in place. Returns 0 on success.
-
-int32_t l2n_render_tiles(const Config* cfg, const float* spheres,
-                         int32_t sphere_count, const float* camera,
-                         const int32_t* tiles, int32_t tile_count,
-                         int32_t offset, int32_t count, float* accum,
-                         float* output, uint32_t* rng_state,
-                         int32_t num_threads) {
+template <class SceneT>
+int32_t render_tiles_impl(const Config* cfg, const SceneT& scene,
+                          const float* camera, const int32_t* tiles,
+                          int32_t tile_count, int32_t offset, int32_t count,
+                          float* accum, float* output, uint32_t* rng_state,
+                          int32_t num_threads, const float* nee_spheres,
+                          int32_t nee_sphere_count) {
   const int W = cfg->buf_width, H = cfg->buf_height;
   const int64_t plane = static_cast<int64_t>(W) * H;
   const V3 cam_pos{camera[4 * 8 + 0], camera[4 * 8 + 1], camera[4 * 8 + 2]};
@@ -511,14 +594,18 @@ int32_t l2n_render_tiles(const Config* cfg, const float* spheres,
 
           V3 color;
           if (cfg->aov == 1) {  // normal AOV
-            Hit h = intersect_scene(spheres, sphere_count, cam_pos, dir);
-            color = h.t >= 0.0f ? h.n : V3{0, 0, 0};
+            Hit h = scene.intersect(cam_pos, dir);
+            color = h.t >= 0.0f ? h.n : scene.normal_miss();
           } else if (cfg->aov == 2) {  // hit AOV
-            Hit h = intersect_scene(spheres, sphere_count, cam_pos, dir);
+            Hit h = scene.intersect(cam_pos, dir);
             float v = h.t >= 0.0f ? 1.0f : 0.0f;
             color = {v, v, v};
+          } else if (nee_spheres != nullptr) {
+            // Sphere path keeps its NEE-capable tracer.
+            color = trace_path(*cfg, nee_spheres, nee_sphere_count, cam_pos,
+                               dir, &rng);
           } else {
-            color = trace_path(*cfg, spheres, sphere_count, cam_pos, dir, &rng);
+            color = trace_path_generic(*cfg, scene, cam_pos, dir, &rng);
           }
 
           // newEstimate = current + (color, 1); out = pow(rgb/n, gamma)
@@ -548,6 +635,67 @@ int32_t l2n_render_tiles(const Config* cfg, const float* spheres,
   for (int i = 0; i < threads; ++i) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// RNG entry points for parity tests -----------------------------------------
+
+void l2n_threefry2x32(uint32_t k0, uint32_t k1, const uint32_t* x0,
+                      const uint32_t* x1, uint32_t* o0, uint32_t* o1,
+                      int64_t n) {
+  for (int64_t i = 0; i < n; ++i)
+    threefry2x32(k0, k1, x0[i], x1[i], &o0[i], &o1[i]);
+}
+
+void l2n_tinymt_uint32(uint32_t mat1, uint32_t mat2, uint32_t tmat,
+                       uint32_t seed, uint32_t* out, int64_t n) {
+  TinyMT r{{0, 0, 0, 0}, mat1, mat2, tmat};
+  tinymt_init(&r, seed);
+  for (int64_t i = 0; i < n; ++i) {
+    tinymt_next(&r);
+    out[i] = tinymt_temper(&r);
+  }
+}
+
+// The renderer ----------------------------------------------------------------
+//
+// accum/output are channel-major planes matching FrameState: accum
+// (4, buf_height, buf_width), output (3, ...). camera is the packed (10, 4)
+// block. tiles is (tile_count, 2) int32 (tx, ty); renders `count` tiles
+// starting at `offset` with wraparound — renderTiles semantics
+// (main.cpp:516-592). rng_state (tinymt mode): (8, H, W) uint32 planes,
+// stepped in place. Returns 0 on success.
+
+int32_t l2n_render_tiles(const Config* cfg, const float* spheres,
+                         int32_t sphere_count, const float* camera,
+                         const int32_t* tiles, int32_t tile_count,
+                         int32_t offset, int32_t count, float* accum,
+                         float* output, uint32_t* rng_state,
+                         int32_t num_threads) {
+  SphereSceneView scene{spheres, sphere_count};
+  return render_tiles_impl(cfg, scene, camera, tiles, tile_count, offset,
+                           count, accum, output, rng_state, num_threads,
+                           spheres, sphere_count);
+}
+
+// Triangle-scene renderer (the reference's CPU renderer is sphere-only,
+// src/main.cpp:206-599 — this goes beyond it so the framework has three
+// independent implementations for BOTH scene families). Triangle layout:
+// see TriSceneView.
+int32_t l2n_render_tiles_tri(const Config* cfg, const float* tris,
+                             const int32_t* mesh_ids, int32_t tri_count,
+                             const float* camera, const int32_t* tiles,
+                             int32_t tile_count, int32_t offset,
+                             int32_t count, float* accum, float* output,
+                             uint32_t* rng_state, int32_t num_threads) {
+  if (cfg->nee) return 2;  // cone NEE is not mirrored natively (yet)
+  TriSceneView scene{tris, mesh_ids, tri_count};
+  return render_tiles_impl(cfg, scene, camera, tiles, tile_count, offset,
+                           count, accum, output, rng_state, num_threads,
+                           nullptr, 0);
 }
 
 }  // extern "C"

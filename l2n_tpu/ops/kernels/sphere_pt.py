@@ -93,9 +93,20 @@ def visibility_table(cfg, scene, camera, sched, row_offset=0) -> jnp.ndarray:
         cos_phi >= cos_safe[:, None] * cos_a - sin_safe[:, None] * sin_a)
 
     n_vis = keep.sum(axis=1, dtype=jnp.int32)
-    # Stable kept-first compaction per tile.
+    # Stable kept-first compaction per tile. The stored list is capped at
+    # _VIS_LIST_CAP entries: SMEM operands pad their last dimension to a
+    # multiple of 128, so a (T, 1+127) table costs exactly (T, 128) words
+    # while (T, 1+128) would DOUBLE to (T, 256). Rows whose visible count
+    # exceeds the cap (never observed for the reference scene; cones see
+    # ~1-4 spheres) make the kernel fall back to the full sweep.
+    cap = min(order_cap(keep.shape[1]), keep.shape[1])
     order = jnp.argsort(~keep, axis=1, stable=True).astype(jnp.int32)
-    return jnp.concatenate([n_vis[:, None], order], axis=1)
+    return jnp.concatenate([n_vis[:, None], order[:, :cap]], axis=1)
+
+
+def order_cap(n_spheres: int) -> int:
+    """Visible-list capacity of a table row (see visibility_table)."""
+    return min(n_spheres, 127)
 
 
 def full_visibility_table(cfg, scene, camera, row_offset=0) -> jnp.ndarray:
@@ -122,10 +133,11 @@ def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz):
     """Primary sweep over the tile's compacted visible-sphere list.
 
     A dynamic-trip-count loop over ceil(n_vis / _CULL_CHUNK) statically
-    unrolled chunks — no branches at all (measured cheaper than per-chunk
-    lax.cond skips). Padding candidates are real scene spheres (just culled
-    ones), so testing a partial chunk's tail is harmless — it can only
-    re-confirm misses.
+    unrolled chunks — no branches in the common case (measured cheaper than
+    per-chunk lax.cond skips). Padding candidates are real scene spheres
+    (just culled ones), so testing a partial chunk's tail is harmless — it
+    can only re-confirm misses. If the visible count overflows the stored
+    list (order_cap), one normally-skipped branch merges a full sweep.
     """
     f32 = jnp.float32
     big = f32(3.0e38)
@@ -164,8 +176,18 @@ def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz):
             carry = candidate(s, carry)
         return carry
 
-    n_chunks = (n_vis + jnp.int32(_CULL_CHUNK - 1)) // jnp.int32(_CULL_CHUNK)
+    cap = order_cap(n_spheres)
+    n_listed = jnp.minimum(n_vis, jnp.int32(cap))
+    n_chunks = (n_listed + jnp.int32(_CULL_CHUNK - 1)) \
+        // jnp.int32(_CULL_CHUNK)
     carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
+    if cap < n_spheres:
+        def overflow(carry):
+            return jax.lax.fori_loop(
+                0, n_spheres, lambda s, c: candidate(jnp.int32(s), c), carry)
+
+        carry = jax.lax.cond(n_vis > jnp.int32(cap), overflow,
+                             lambda c: c, carry)
 
     best_t, best_i, bcx, bcy, bcz, br2 = carry
     hit = best_t < big
@@ -344,8 +366,8 @@ def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
                       scene.sqr_radius)
 
     table_fn = jax.jit(partial(full_visibility_table, cfg, scene))
-    empty_table = None if cone_cull else jnp.zeros((cfg.tile_count, 1 + n),
-                                                   jnp.int32)
+    empty_table = None if cone_cull else jnp.zeros(
+        (cfg.tile_count, 1 + order_cap(n)), jnp.int32)
 
     def kernel_step(state: FrameState, camera, table) -> FrameState:
         sched = scheduled_tiles(tile_array, state.tile_offset, k)

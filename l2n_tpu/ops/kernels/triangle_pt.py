@@ -442,29 +442,37 @@ def _kernel(cfg, mesh_count, tpad, fast, *refs):
                         smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
                         c * csize, csize, want_tc))
 
+    def pick_bound_r2(bmesh):
+        # Winner's bound r^2 (cone-NEE MIS input) via one scalar mesh pass.
+        def pick(m, b2):
+            return jnp.where(bmesh == m, br2_ref[m], b2)
+        return jax.lax.fori_loop(0, mesh_count, pick, jnp.ones(shape, f32))
+
     def finish(ox, oy, oz, dx, dy, dz) -> Hit:
         if fast:
             bt, bmesh = read_best()
             hit = bt < big
             bt = jnp.where(hit, bt, f32(-1.0))
             # Recover the winner's center/radius with one scalar pass over
-            # the meshes (5 vector ops each) instead of carrying them
+            # the meshes (6 vector ops each) instead of carrying them
             # through every triangle candidate.
             cx = zero
             cy = zero
             cz = zero
             rr = zero
+            b2 = jnp.ones(shape, f32)
 
             def pick(m, carry):
-                cx, cy, cz, rr = carry
+                cx, cy, cz, rr, b2 = carry
                 is_m = bmesh == m
                 return (jnp.where(is_m, bcx_ref[m], cx),
                         jnp.where(is_m, bcy_ref[m], cy),
                         jnp.where(is_m, bcz_ref[m], cz),
-                        jnp.where(is_m, f32(1.0) / brad_ref[m], rr))
+                        jnp.where(is_m, f32(1.0) / brad_ref[m], rr),
+                        jnp.where(is_m, br2_ref[m], b2))
 
-            cx, cy, cz, rr = jax.lax.fori_loop(0, mesh_count, pick,
-                                               (cx, cy, cz, rr))
+            cx, cy, cz, rr, b2 = jax.lax.fori_loop(
+                0, mesh_count, pick, (cx, cy, cz, rr, b2))
             # Shading normal == the reference's interpolated vertex normal,
             # by linearity (pack_mesh_blocks docstring): (p - c)/r.
             hx = ox + bt * dx
@@ -474,14 +482,16 @@ def _kernel(cfg, mesh_count, tpad, fast, *refs):
                        nx=(hx - cx) * rr, ny=(hy - cy) * rr,
                        nz=(hz - cz) * rr, index=bmesh,
                        emis_r2=jnp.ones(shape, f32),  # glsl:268
-                       tc_u=zero, tc_v=zero, b_u=zero, b_v=zero)
+                       tc_u=zero, tc_v=zero, b_u=zero, b_v=zero,
+                       bound_r2=b2)
         bt, bu, bv, nx, ny, nz, tu, tv, bmesh = read_best()
         hit = bt < big
         bt = jnp.where(hit, bt, f32(-1.0))
         return Hit(t=bt, px=zero, py=zero, pz=zero,
                    nx=nx, ny=ny, nz=nz, index=bmesh,
                    emis_r2=jnp.ones(shape, f32),  # glsl:268: sqrRadius = 1
-                   tc_u=tu, tc_v=tv, b_u=bu, b_v=bv)
+                   tc_u=tu, tc_v=tv, b_u=bu, b_v=bv,
+                   bound_r2=pick_bound_r2(bmesh))
 
     def intersect_primary(ox, oy, oz, dx, dy, dz) -> Hit:
         # Cone-culled: the host table lists the meshes whose bounds meet
@@ -560,6 +570,13 @@ def _kernel(cfg, mesh_count, tpad, fast, *refs):
         jax.lax.fori_loop(0, mesh_count, per_mesh, jnp.int32(0))
         return best_i[0] != 0
 
+    light_sampler = None
+    if cfg.nee:
+        from l2n_tpu.ops.nee import make_mesh_light_sampler
+        light_sampler = make_mesh_light_sampler(
+            mesh_count, cfg.emissive_every,
+            lambda m: (bcx_ref[m], bcy_ref[m], bcz_ref[m], br2_ref[m]))
+
     sum_r = sum_g = sum_b = zero
     finalize = lambda: None
     for s in range(cfg.spp_per_step):
@@ -572,7 +589,8 @@ def _kernel(cfg, mesh_count, tpad, fast, *refs):
                         miss_color=(1.0, 0.0, 1.0),
                         skip_empty=cfg.skip_empty_tiles,
                         intersect_primary=intersect_primary,
-                        intersect_anyhit=intersect_anyhit)
+                        intersect_anyhit=intersect_anyhit,
+                        light_sampler=light_sampler)
         sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
         if cfg.rng_stateful and s + 1 < cfg.spp_per_step:
             finalize()
@@ -582,13 +600,20 @@ def _kernel(cfg, mesh_count, tpad, fast, *refs):
     finalize()
 
 
-@register_kernel("triangle")
-def build_triangle_step(cfg, scene: TriangleScene, tile_array,
-                        donate: bool = True):
+def build_triangle_call(cfg, scene: TriangleScene):
+    """The raw pallas_call over one framebuffer (or one shard's slab) plus
+    its static operands and per-camera helpers — used by the single-chip
+    step below and, per shard, by the multi-chip shard_map step
+    (l2n_tpu.parallel.step).
+
+    Returns (call, aux); call(sched (K,2) i32, vis_table (tile_count,1+M)
+    i32 in tile-id order, camera (10,4) f32, order (M,) i32, bcx, bcy, bcz,
+    br2, brad (M,) f32, cbounds (M,C,5) f32, inner_gap (M,) f32, blocks
+    HBM, accum, output[, rng_state]).
+    """
     th, tw = cfg.tile_height, cfg.tile_width
     hp, wp = cfg.padded_height, cfg.padded_width
     k = cfg.effective_tiles_per_step
-    tile_array = jnp.asarray(tile_array)
     stateful = cfg.rng_stateful
     rng_planes = 8 if cfg.rng == "tinymt" else 4
 
@@ -610,7 +635,21 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
     bounds_scene = SimpleNamespace(
         center_x=bounds[0], center_y=bounds[1], center_z=bounds[2],
         sqr_radius=bounds[3], count=mesh_count)
-    table_fn = jax.jit(partial(full_visibility_table, cfg, bounds_scene))
+    table_fn = jax.jit(lambda camera, row_offset=jnp.float32(0.0):
+                       full_visibility_table(cfg, bounds_scene, camera,
+                                             row_offset=row_offset))
+
+    bounds_np4 = bounds_np
+
+    def mesh_order(camera: np.ndarray) -> jnp.ndarray:
+        # Front-to-back mesh order for this camera (distance to bound
+        # centers minus radius, ascending) — a pure camera function, cached
+        # per camera like the visibility table.
+        from l2n_tpu.camera.camera import ROW_POSITION
+        pos = camera[ROW_POSITION, :3]
+        d = (np.sqrt(((bounds_np4[:, :3] - pos) ** 2).sum(1))
+             - np.sqrt(bounds_np4[:, 3]))
+        return jnp.asarray(np.argsort(d).astype(np.int32))
 
     def tile_map(planes):
         return pl.BlockSpec(
@@ -656,12 +695,29 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
         input_output_aliases=aliases,
         interpret=interpret_mode(),
     )
+    aux = SimpleNamespace(
+        bounds=bounds, bradius=bradius, cbounds=cbounds, inner_gap=inner_gap,
+        blocks=blocks, mesh_count=mesh_count, table_fn=table_fn,
+        mesh_order=mesh_order, stateful=stateful, fast=fast)
+    return call, aux
+
+
+@register_kernel("triangle")
+def build_triangle_step(cfg, scene: TriangleScene, tile_array,
+                        donate: bool = True):
+    """Returns step(FrameState, packed_camera) -> FrameState, ALREADY
+    jitted, with per-camera precomputations (cone-cull table, front-to-back
+    order) cached host-side like the sphere kernel's."""
+    call, aux = build_triangle_call(cfg, scene)
+    tile_array = jnp.asarray(tile_array)
+    k = cfg.effective_tiles_per_step
 
     def kernel_step(state: FrameState, camera, table, order) -> FrameState:
         sched = scheduled_tiles(tile_array, state.tile_offset, k)
-        args = [sched, table, camera, order, *bounds, bradius, cbounds,
-                inner_gap, blocks, state.accum, state.output]
-        if stateful:
+        args = [sched, table, camera, order, *aux.bounds, aux.bradius,
+                aux.cbounds, aux.inner_gap, aux.blocks,
+                state.accum, state.output]
+        if aux.stateful:
             args.append(state.rng_state)
         outs = call(*args)
         return FrameState(
@@ -669,22 +725,10 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
             output=outs[1],
             tile_offset=advance_offset(cfg, state.tile_offset),
             iteration=state.iteration + 1,
-            rng_state=outs[2] if stateful else None,
+            rng_state=outs[2] if aux.stateful else None,
         )
 
     jit_step = jax.jit(kernel_step, donate_argnums=(0,) if donate else ())
-    bounds_np4 = bounds_np
-
-    def mesh_order(camera: np.ndarray) -> jnp.ndarray:
-        # Front-to-back mesh order for this camera (distance to bound
-        # centers minus radius, ascending) — a pure camera function, cached
-        # per camera like the visibility table.
-        from l2n_tpu.camera.camera import ROW_POSITION
-        pos = camera[ROW_POSITION, :3]
-        d = (np.sqrt(((bounds_np4[:, :3] - pos) ** 2).sum(1))
-             - np.sqrt(bounds_np4[:, 3]))
-        return jnp.asarray(np.argsort(d).astype(np.int32))
-
     cache: dict[bytes, tuple] = {}
 
     def step(state: FrameState, camera) -> FrameState:
@@ -696,7 +740,7 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
         if entry is None:
             cache.clear()  # one live camera at a time
             cam_dev = jnp.asarray(camera)
-            entry = (cam_dev, table_fn(cam_dev), mesh_order(camera))
+            entry = (cam_dev, aux.table_fn(cam_dev), aux.mesh_order(camera))
             cache[key] = entry
         return jit_step(state, *entry)
 

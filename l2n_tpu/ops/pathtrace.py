@@ -61,6 +61,9 @@ class Hit:
     tc_v: jnp.ndarray | None = None
     b_u: jnp.ndarray | None = None
     b_v: jnp.ndarray | None = None
+    # Squared radius of the winning object's BOUNDING sphere (triangle
+    # scenes; feeds the cone-NEE MIS weight). None where not applicable.
+    bound_r2: jnp.ndarray | None = None
 
 
 IntersectFn = Callable[..., Hit]  # (ox, oy, oz, dx, dy, dz) -> Hit
@@ -158,7 +161,11 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
     f32 = jnp.float32
     shape = jnp.shape(dx)
     use_nee = cfg.nee and light_sampler is not None
+    use_mis = use_nee and cfg.mis
     use_cond = skip_empty and not getattr(sampler, "stateful", False)
+
+    def hit_bound_r2(h):
+        return h.bound_r2 if h.bound_r2 is not None else h.emis_r2
 
     def env_term(edx, edy, edz):
         return env_radiance(cfg.env_mode, edx, edy, edz) * f32(cfg.env_scale)
@@ -195,7 +202,10 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
         # primary emissive/miss lanes are already resolved above.
         dist = jnp.where(p_emissive, f32(-2.0), hit.t)
         state = (ox, oy, oz, dx, dy, dz, hit.t, hit.nx, hit.ny, hit.nz,
-                 hit.index, hit.emis_r2)
+                 hit.index, hit.emis_r2, hit_bound_r2(hit))
+        # BSDF sampling pdf of the ray that produced the CURRENT hit (for
+        # the MIS emission weight); primary rays are camera-deterministic.
+        prev_pdf = jnp.ones(shape, f32)
         # emission_ok: under NEE, emission is only collected on camera-direct
         # hits; every diffuse vertex accounts for lights explicitly (int32
         # mask — boolean vectors break Mosaic loop/branch legalization).
@@ -204,7 +214,7 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
 
         for b in range(cfg.max_bounces):
             (box, boy, boz, bdx, bdy, bdz, cur_t, nx, ny, nz, index,
-             emis_r2) = state
+             emis_r2, bound_r2) = state
             if b > 0:
                 # Resolve this iteration's hit (iteration 0's was resolved
                 # before the branch): emissive lanes add and terminate
@@ -213,44 +223,106 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
                 emissive = active & (index % cfg.emissive_every == 0)
                 diffuse = active & ~emissive
                 emit = emit_term(emis_r2)
-                add_em = (emissive & (emission_ok == 1)) if use_nee \
-                    else emissive
+                if use_mis:
+                    # BSDF-found emission weighted against the NEE pdf of
+                    # the same direction (every lane here arrived via a
+                    # BSDF-sampled bounce, so prev_pdf is its pdf).
+                    from l2n_tpu.ops.nee import mis_emission_weight
+                    emit = emit * mis_emission_weight(
+                        cfg, light_sampler.kind, light_sampler.n_lights,
+                        prev_pdf, bdx, bdy, bdz, cur_t, nx, ny, nz,
+                        emis_r2, bound_r2)
+                    add_em = emissive
+                elif use_nee:
+                    add_em = emissive & (emission_ok == 1)
+                else:
+                    add_em = emissive
                 col_r = jnp.where(add_em, col_r + tp_r * emit, col_r)
                 col_g = jnp.where(add_em, col_g + tp_g * emit, col_g)
                 col_b = jnp.where(add_em, col_b + tp_b * emit, col_b)
                 dist = jnp.where(emissive, f32(-2.0), dist)
 
-            # Diffuse bounce (glsl:292-300): move to the hit point,
-            # cosine-sample the hemisphere around the (reference:
-            # unnormalized interpolated) shading normal, multiply
-            # throughput by the procedural albedo.
-            tangent, bitangent = frame_z(nx, ny, nz)
+            # Scatter at the hit point. "procedural" (reference parity,
+            # glsl:292-300): cosine-sample the hemisphere around the
+            # (reference: unnormalized interpolated) shading normal and
+            # multiply throughput by the hashed albedo. "microfacet"
+            # (wishlist TODO.md:5): sample the GGX+Lambert mixture.
             hx = box + cur_t * bdx
             hy = boy + cur_t * bdy
             hz = boz + cur_t * bdz
-            u1, u2 = sampler.draw2(mask=diffuse)
-            (lx, ly, lz), _ = cosine_sample_hemisphere(u1, u2)
-            wdx, wdy, wdz = local_to_world(lx, ly, lz, tangent, bitangent,
-                                           (nx, ny, nz))
-            wdx, wdy, wdz = normalize3(wdx, wdy, wdz)
-
             kd_r, kd_g, kd_b = procedural_color(index)
+            brdf_eval = None
+            if cfg.material_mode == "microfacet":
+                from l2n_tpu.maths.brdf import (
+                    eval_brdf,
+                    procedural_roughness,
+                    sample_brdf,
+                )
+                nhx, nhy, nhz = normalize3(nx, ny, nz)
+                tangent, bitangent = frame_z(nhx, nhy, nhz)
+                rough = procedural_roughness(index)
+                wox, woy, woz = -bdx, -bdy, -bdz
+                u1, u2 = sampler.draw2(mask=diffuse)
+                u_lobe = sampler.draw1(mask=diffuse)
+                (wdx, wdy, wdz, w_r, w_g, w_b, pdf_b) = sample_brdf(
+                    u_lobe, u1, u2, nhx, nhy, nhz, tangent, bitangent,
+                    wox, woy, woz, kd_r, kd_g, kd_b, rough)
+                if use_mis:
+                    prev_pdf = jnp.where(diffuse, pdf_b, prev_pdf)
+                if use_nee:
+                    def brdf_eval(lx, ly, lz, _n=(nhx, nhy, nhz),
+                                  _wo=(wox, woy, woz),
+                                  _kd=(kd_r, kd_g, kd_b), _ro=rough):
+                        return eval_brdf(_n[0], _n[1], _n[2],
+                                         _wo[0], _wo[1], _wo[2],
+                                         lx, ly, lz,
+                                         _kd[0], _kd[1], _kd[2], _ro)
+            else:
+                tangent, bitangent = frame_z(nx, ny, nz)
+                u1, u2 = sampler.draw2(mask=diffuse)
+                (lx, ly, lz), _ = cosine_sample_hemisphere(u1, u2)
+                wdx, wdy, wdz = local_to_world(lx, ly, lz, tangent,
+                                               bitangent, (nx, ny, nz))
+                wdx, wdy, wdz = normalize3(wdx, wdy, wdz)
+                w_r, w_g, w_b = kd_r, kd_g, kd_b
+                if use_mis:
+                    # Cosine-hemisphere pdf of the sampled direction (lz is
+                    # the local cos theta); approximate under the
+                    # reference's unnormalized frame, which only
+                    # redistributes MIS weight.
+                    prev_pdf = jnp.where(diffuse, lz * f32(1.0 / PI),
+                                         prev_pdf)
 
             if use_nee:
                 # Direct light sampling at this diffuse vertex (uses the
                 # pre-multiplication throughput and the vertex albedo).
-                from l2n_tpu.ops.nee import nee_contribution
+                # MIS-weighted except on the LAST iteration, whose BSDF
+                # side can never collect its emission (the loop truncates,
+                # mirroring the reference's pathLength cap) — NEE keeps
+                # full weight there so no energy is lost.
+                mis_here = use_mis and (b + 1 < cfg.max_bounces)
                 u_pick = sampler.draw1(mask=diffuse)
                 ul1, ul2 = sampler.draw2(mask=diffuse)
-                light = light_sampler(u_pick, ul1, ul2)
-                dr, dg, db = nee_contribution(
-                    cfg, light_sampler.n_lights, intersect, light,
-                    hx, hy, hz, nx, ny, nz, kd_r, kd_g, kd_b,
-                    tp_r, tp_g, tp_b)
+                if light_sampler.kind == "area":
+                    from l2n_tpu.ops.nee import nee_contribution
+                    light = light_sampler(u_pick, ul1, ul2)
+                    dr, dg, db = nee_contribution(
+                        cfg, light_sampler.n_lights, intersect, light,
+                        hx, hy, hz, nx, ny, nz, kd_r, kd_g, kd_b,
+                        tp_r, tp_g, tp_b, mis=mis_here,
+                        brdf_eval=brdf_eval)
+                else:
+                    from l2n_tpu.ops.nee import nee_cone_contribution
+                    dr, dg, db = nee_cone_contribution(
+                        cfg, light_sampler, intersect, u_pick, ul1, ul2,
+                        hx, hy, hz, nx, ny, nz, kd_r, kd_g, kd_b,
+                        tp_r, tp_g, tp_b, mis=mis_here,
+                        brdf_eval=brdf_eval)
                 col_r = jnp.where(diffuse, col_r + dr, col_r)
                 col_g = jnp.where(diffuse, col_g + dg, col_g)
                 col_b = jnp.where(diffuse, col_b + db, col_b)
-                emission_ok = jnp.where(diffuse, 0, emission_ok)
+                if not use_mis:
+                    emission_ok = jnp.where(diffuse, 0, emission_ok)
 
             box = jnp.where(diffuse, hx, box)
             boy = jnp.where(diffuse, hy, boy)
@@ -258,9 +330,9 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
             bdx = jnp.where(diffuse, wdx, bdx)
             bdy = jnp.where(diffuse, wdy, bdy)
             bdz = jnp.where(diffuse, wdz, bdz)
-            tp_r = jnp.where(diffuse, tp_r * kd_r, tp_r)
-            tp_g = jnp.where(diffuse, tp_g * kd_g, tp_g)
-            tp_b = jnp.where(diffuse, tp_b * kd_b, tp_b)
+            tp_r = jnp.where(diffuse, tp_r * w_r, tp_r)
+            tp_g = jnp.where(diffuse, tp_g * w_g, tp_g)
+            tp_b = jnp.where(diffuse, tp_b * w_b, tp_b)
 
             # Russian roulette (glsl:302-309): survive with p = min(ceiling,
             # luminance(throughput)); survivors get throughput / p,
@@ -302,7 +374,7 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
                                  jnp.where(hit_any, f32(1.0), f32(-1.0)),
                                  dist)
                 state = (box, boy, boz, bdx, bdy, bdz, cur_t,
-                         nx, ny, nz, index, emis_r2)
+                         nx, ny, nz, index, emis_r2, bound_r2)
             else:
                 new = intersect(cast_ox, cast_oy, cast_oz, bdx, bdy, bdz)
                 dist = jnp.where(survive, new.t, dist)
@@ -312,7 +384,8 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
                          jnp.where(survive, new.ny, ny),
                          jnp.where(survive, new.nz, nz),
                          jnp.where(survive, new.index, index),
-                         jnp.where(survive, new.emis_r2, emis_r2))
+                         jnp.where(survive, new.emis_r2, emis_r2),
+                         jnp.where(survive, hit_bound_r2(new), bound_r2))
 
         # Environment for bounce-lane misses (glsl:312-314), evaluated ONCE
         # on the final directions — a resolved lane's direction/throughput

@@ -54,7 +54,8 @@ def sphere_anyhit(scene: SphereScene, unroll: int = 1):
 
 
 def triangle_intersector(soup: dict[str, jnp.ndarray],
-                         unroll: int = 1) -> IntersectFn:
+                         unroll: int = 1,
+                         bound_r2: jnp.ndarray | None = None) -> IntersectFn:
     """Oracle-side triangle intersector over a flattened soup.
 
     Attributes of the winning triangle are gathered once per ray and
@@ -87,8 +88,10 @@ def triangle_intersector(soup: dict[str, jnp.ndarray],
         px = ox + t * dx
         py = oy + t * dy
         pz = oz + t * dz
+        br2 = (bound_r2[jnp.maximum(mesh, 0)]
+               if bound_r2 is not None else None)
         return Hit(t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
                    index=mesh, emis_r2=jnp.ones_like(t),
-                   tc_u=tc_u, tc_v=tc_v, b_u=u, b_v=v)
+                   tc_u=tc_u, tc_v=tc_v, b_u=u, b_v=v, bound_r2=br2)
 
     return intersect

@@ -56,10 +56,12 @@ def slab_tile_grids(cfg: RenderConfig, n_tile: int) -> np.ndarray:
 
 
 def init_sharded_state(cfg: RenderConfig, mesh: Mesh) -> ShardedFrameState:
-    if cfg.rng != "threefry":
+    if cfg.rng_stateful:
         raise NotImplementedError(
-            "sharded rendering supports the counter-based threefry sampler "
-            "(stateful parity modes are single-chip)")
+            "sharded rendering needs a stateless sampler (threefry/tpu_hw); "
+            "the stateful TinyMT/TausLCG parity modes are single-chip — "
+            "their per-pixel state planes are tied to the reference's "
+            "single-framebuffer layout")
     n_sample = mesh.shape["sample"]
     hp, wp = cfg.padded_height, cfg.padded_width
     accum = jax.device_put(
@@ -84,8 +86,8 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
     cfg.validate()
     if backend == "auto":
         from l2n_tpu.ops.kernels import KERNELS
-        backend = "pallas" if cfg.scene_kind in KERNELS \
-            and cfg.scene_kind == "sphere" and cfg.rng == "threefry" else "xla"
+        backend = ("pallas" if cfg.scene_kind in KERNELS
+                   and not cfg.rng_stateful else "xla")
     n_tile = mesh.shape["tile"]
     intersect, miss_color, light_sampler, anyhit = make_intersector(cfg, scene)
     tile_grids = jnp.asarray(slab_tile_grids(cfg, n_tile))
@@ -94,49 +96,66 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
 
     pallas_call_local = None
     slab_table_count = 1
+    tri_aux = None
     if backend == "pallas":
-        if cfg.scene_kind != "sphere":
-            raise NotImplementedError("sharded pallas backend: sphere scenes")
-        from l2n_tpu.ops.kernels.sphere_pt import (
-            build_sphere_call, full_visibility_table)
         # The per-shard kernel renders a slab-sized framebuffer; ray
         # generation still maps pixels against the full image.
         slab_cfg = cfg.replace(height=rows_per_slab,
                                ndc_height=cfg.ndc_height or cfg.height)
-        pallas_call_local = build_sphere_call(slab_cfg, scene)
         slab_table_count = slab_cfg.tile_count
+        if cfg.scene_kind == "sphere":
+            from l2n_tpu.ops.kernels.sphere_pt import (
+                build_sphere_call, full_visibility_table)
+            pallas_call_local = build_sphere_call(slab_cfg, scene)
 
-        def make_tables(camera):
-            """(n_tile, slab_tile_count, 1+n) int32: each slab's cone-cull
-            table in slab-local tile-id order — a pure camera function,
-            computed on the host once per camera (recomputing it inside the
-            sharded step was the dominant per-step cost, see sphere_pt)."""
-            return jnp.stack([
-                full_visibility_table(
-                    slab_cfg, scene, camera,
-                    row_offset=jnp.float32(s * rows_per_slab))
-                for s in range(n_tile)])
-        make_tables = jax.jit(make_tables)
+            def make_tables(camera):
+                """(n_tile, slab_tile_count, 1+n) int32: each slab's
+                cone-cull table in slab-local tile-id order — a pure camera
+                function, computed on the host once per camera (recomputing
+                it inside the sharded step was the dominant per-step cost,
+                see sphere_pt)."""
+                return jnp.stack([
+                    full_visibility_table(
+                        slab_cfg, scene, camera,
+                        row_offset=jnp.float32(s * rows_per_slab))
+                    for s in range(n_tile)])
+            make_tables = jax.jit(make_tables)
+        else:
+            from l2n_tpu.ops.kernels.triangle_pt import build_triangle_call
+            pallas_call_local, tri_aux = build_triangle_call(slab_cfg, scene)
 
-    def _pallas_local_step(tiles_l, table_l, local, camera, row_offset,
-                           stream):
+            def make_tables(camera):
+                return jnp.stack([
+                    tri_aux.table_fn(camera,
+                                     jnp.float32(s * rows_per_slab))
+                    for s in range(n_tile)])
+
+    def _pallas_local_step(tiles_l, table_l, order, local, camera,
+                           row_offset, stream):
         from l2n_tpu.camera.camera import ROW_PROJ
         from l2n_tpu.render.tiles import scheduled_tiles
         cam = camera.at[ROW_PROJ, 2].set(row_offset.astype(jnp.float32))
         cam = cam.at[ROW_PROJ, 3].set(stream.astype(jnp.float32))
         sched = scheduled_tiles(tiles_l, local.tile_offset, k)
-        accum, output = pallas_call_local(
-            sched, table_l, cam, scene.center_x, scene.center_y,
-            scene.center_z, scene.sqr_radius, local.accum, local.output)
+        if cfg.scene_kind == "sphere":
+            accum, output = pallas_call_local(
+                sched, table_l, cam, scene.center_x, scene.center_y,
+                scene.center_z, scene.sqr_radius, local.accum, local.output)
+        else:
+            accum, output = pallas_call_local(
+                sched, table_l, cam, order, *tri_aux.bounds, tri_aux.bradius,
+                tri_aux.cbounds, tri_aux.inner_gap, tri_aux.blocks,
+                local.accum, local.output)
         return FrameState(
             accum=accum, output=output,
             tile_offset=(local.tile_offset + jnp.int32(k))
             % jnp.int32(tiles_l.shape[0]),
             iteration=local.iteration + 1, rng_state=None)
 
-    def body(tiles_l, tables_l, accum_l, out_l, offset, iteration, camera):
+    def body(tiles_l, tables_l, order, accum_l, out_l, offset, iteration,
+             camera):
         # Local views: tiles_l (1, T, 2), tables_l (1, T_slab, 1+n),
-        # accum_l (1, 4, hl, Wp), out_l (3, hl, Wp).
+        # accum_l (1, 4, hl, Wp), out_l (3, hl, Wp); order replicated.
         tile_rank = jax.lax.axis_index("tile")
         sample_rank = jax.lax.axis_index("sample")
         local = FrameState(accum=accum_l[0], output=out_l,
@@ -146,8 +165,9 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
         # decorrelated everywhere without any cross-chip coordination.
         stream = sample_rank * jnp.uint32(n_tile) + tile_rank.astype(jnp.uint32)
         if backend == "pallas":
-            new = _pallas_local_step(tiles_l[0], tables_l[0], local, camera,
-                                     tile_rank * rows_per_slab, stream)
+            new = _pallas_local_step(tiles_l[0], tables_l[0], order, local,
+                                     camera, tile_rank * rows_per_slab,
+                                     stream)
         else:
             new = _xla_step(cfg, intersect, miss_color, tiles_l[0], local,
                             camera, row_offset=tile_rank * rows_per_slab,
@@ -167,7 +187,7 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
 
     shard = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P("tile", None, None), P("tile", None, None),
+        in_specs=(P("tile", None, None), P("tile", None, None), P(),
                   P("sample", None, "tile", None),
                   P(None, "tile", None), P(), P(), P()),
         out_specs=(P("sample", None, "tile", None), P(None, "tile", None),
@@ -175,15 +195,16 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
         check_vma=False,
     )
 
-    def jit_body(state: ShardedFrameState, camera, tables):
+    def jit_body(state: ShardedFrameState, camera, tables, order):
         accum, output, offset, iteration = shard(
-            tile_grids, tables, state.accum, state.output, state.tile_offset,
-            state.iteration, camera)
+            tile_grids, tables, order, state.accum, state.output,
+            state.tile_offset, state.iteration, camera)
         return ShardedFrameState(accum=accum, output=output,
                                  tile_offset=offset, iteration=iteration)
 
     jit_step = jax.jit(jit_body, donate_argnums=(0,) if donate else ())
     dummy_tables = jnp.zeros((n_tile, slab_table_count, 1), jnp.int32)
+    dummy_order = jnp.zeros((1,), jnp.int32)
     table_sharding = NamedSharding(mesh, P("tile", None, None))
     cache: dict[bytes, tuple] = {}
 
@@ -196,11 +217,13 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
         if entry is None:
             cache.clear()  # one live camera at a time
             cam_dev = jnp.asarray(camera)
+            tables = dummy_tables
+            order = dummy_order
             if backend == "pallas":
                 tables = jax.device_put(make_tables(cam_dev), table_sharding)
-            else:
-                tables = dummy_tables
-            entry = (cam_dev, tables)
+                if tri_aux is not None:
+                    order = tri_aux.mesh_order(camera)
+            entry = (cam_dev, tables, order)
             cache[key] = entry
         return jit_step(state, *entry)
 
@@ -229,3 +252,16 @@ class ShardedRenderer:
         framebuffer blit (DCN/ICI gather instead of glBlitFramebuffer)."""
         img = np.asarray(self.state.output[:, :self.cfg.height, :self.cfg.width])
         return np.moveaxis(img, 0, -1)
+
+    def save_session(self, path, view_matrix=None):
+        """Multi-chip progressive renders checkpoint too: gather + NPZ."""
+        from l2n_tpu.utils.checkpoint import save_sharded_session
+        return save_sharded_session(path, self.cfg, self.state, view_matrix)
+
+    def load_session(self, path):
+        from l2n_tpu.utils.checkpoint import load_sharded_session
+        cfg, state, view = load_sharded_session(path, self.mesh)
+        if cfg != self.cfg:
+            raise ValueError("session config does not match renderer config")
+        self.state = state
+        return view

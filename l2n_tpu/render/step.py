@@ -155,8 +155,24 @@ def make_intersector(cfg: RenderConfig, scene):
                 sphere_anyhit(scene))
     if not isinstance(scene, TriangleScene):
         raise TypeError("triangle config needs a TriangleScene")
+    light_sampler = None
+    bound_r2 = None
+    if cfg.nee:
+        # Cone NEE over the emissive meshes' bounding spheres.
+        from l2n_tpu.ops.kernels.triangle_pt import pack_mesh_blocks
+        from l2n_tpu.ops.nee import make_mesh_light_sampler
+        _, bounds_np, _, _, _ = pack_mesh_blocks(scene)
+        bx = jnp.asarray(bounds_np[:, 0])
+        by = jnp.asarray(bounds_np[:, 1])
+        bz = jnp.asarray(bounds_np[:, 2])
+        br2 = jnp.asarray(bounds_np[:, 3])
+        light_sampler = make_mesh_light_sampler(
+            scene.mesh_count, cfg.emissive_every,
+            lambda m: (bx[m], by[m], bz[m], br2[m]))
+        bound_r2 = br2
     # triangle AOVs miss to magenta (triangle_pathtracing.cs.glsl:340)
-    return triangle_intersector(scene.soup()), (1.0, 0.0, 1.0), None, None
+    return (triangle_intersector(scene.soup(), bound_r2=bound_r2),
+            (1.0, 0.0, 1.0), light_sampler, None)
 
 
 def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",

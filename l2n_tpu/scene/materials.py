@@ -6,9 +6,18 @@ and binds std430 buffers for them (`PhongMaterial`/`PointLight`/
 9-38, buffers :52-69, counts :50-65) — but its shading never reads them:
 albedo is the procedural hash (glsl:282) and emission the every-16th-sphere
 rule (glsl:285-290). These SoA containers mirror that declared surface so a
-scene can carry the same data; they are plumbed through the programs and
-available to future shading models, exactly as "available but unused" as in
-the reference.
+scene can carry the same data; they are plumbed through the programs,
+exactly as "available but unused" as in the reference.
+
+The LIVE material system is `RenderConfig.material_mode`: "procedural"
+keeps reference parity, "microfacet" enables the GGX+Lambert BSDF
+(l2n_tpu.maths.brdf — the reference's own TODO.md:5 wishlist item) with
+per-object procedural roughness, which runs gather-free in both the oracle
+and the Pallas kernels. The Phong buffers here stay a parity mirror of the
+reference's dead declarations rather than feeding that path: per-lane
+material-buffer lookups would need a select-sweep per shading point, and
+the reference defines no semantics to validate against (its counts are
+always zero, main.cpp:675-693).
 """
 
 from __future__ import annotations

@@ -54,3 +54,55 @@ def load_session(path: str | Path) -> tuple[RenderConfig, FrameState, np.ndarray
         )
         view = data["view_matrix"]
     return cfg, state, view
+
+
+def save_sharded_session(path: str | Path, cfg: RenderConfig, state,
+                         view_matrix: np.ndarray | None = None) -> Path:
+    """Checkpoint a multi-chip ShardedFrameState (l2n_tpu.parallel.step).
+
+    The sample-axis accum replicas are gathered and saved per replica so a
+    resume continues the exact per-replica RNG streams (stream keys depend
+    only on mesh coordinates, which the loading mesh re-establishes).
+    """
+    path = Path(path)
+    arrays = {
+        "sharded_accum": np.asarray(state.accum),
+        "output": np.asarray(state.output),
+        "tile_offset": np.asarray(state.tile_offset),
+        "iteration": np.asarray(state.iteration),
+    }
+    if view_matrix is not None:
+        arrays["view_matrix"] = np.asarray(view_matrix, np.float32)
+    np.savez_compressed(path, config=np.frombuffer(
+        cfg.to_json().encode(), dtype=np.uint8), **arrays)
+    return path
+
+
+def load_sharded_session(path: str | Path, mesh):
+    """Load a sharded session onto `mesh` (re-sharding the planes the same
+    way init_sharded_state lays them out). Returns (cfg, ShardedFrameState,
+    view_matrix or None)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from l2n_tpu.parallel.step import ShardedFrameState
+
+    with np.load(Path(path)) as data:
+        cfg = RenderConfig.from_json(bytes(data["config"]).decode())
+        accum_np = data["sharded_accum"]
+        if accum_np.shape[0] != mesh.shape["sample"]:
+            raise ValueError(
+                f"session has {accum_np.shape[0]} sample replicas; mesh has "
+                f"{mesh.shape['sample']}")
+        accum = jax.device_put(
+            jnp.asarray(accum_np),
+            NamedSharding(mesh, P("sample", None, "tile", None)))
+        output = jax.device_put(
+            jnp.asarray(data["output"]),
+            NamedSharding(mesh, P(None, "tile", None)))
+        state = ShardedFrameState(
+            accum=accum, output=output,
+            tile_offset=jnp.int32(data["tile_offset"]),
+            iteration=jnp.int32(data["iteration"]))
+        view = data["view_matrix"] if "view_matrix" in data else None
+    return cfg, state, view

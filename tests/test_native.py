@@ -164,3 +164,87 @@ class TestNativeNEE:
         d = np.abs(accum - oracle)
         assert np.sqrt((d ** 2).mean()) < 5e-3, d.max()
         assert (d > 1e-3).mean() < 2e-3
+
+
+class TestNativeTriangleRenderer:
+    """Native C++ triangle renderer — r1 VERDICT next item 7 (the
+    reference's CPU renderer is sphere-only; three independent
+    implementations must cover BOTH scene families)."""
+
+    def make(self, aov="pathtracing"):
+        from l2n_tpu.config import RenderConfig
+        from l2n_tpu.native import NativeTriangleRenderer
+        from l2n_tpu.render.tiles import tile_grid
+        from l2n_tpu.scene import build_triangle_scene, compute_spheres
+
+        cfg = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=8, disc_lat=8,
+                           disc_long=4, tiles_per_step=1, aov=aov,
+                           scene_kind="triangle").validate()
+        spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
+                                  cfg.scene_seed)
+        scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
+        tiles = tile_grid(cfg)
+        return cfg, scene, NativeTriangleRenderer(cfg, scene, tiles)
+
+    def run_native(self, cfg, nr, steps=2):
+        from l2n_tpu.camera import Camera
+        from l2n_tpu.render.state import init_frame_state
+        st = init_frame_state(cfg)
+        accum = np.asarray(st.accum).copy()
+        output = np.asarray(st.output).copy()
+        cam = Camera.from_config(cfg).packed()
+        k = cfg.effective_tiles_per_step
+        for i in range(steps):
+            nr.render_tiles(accum, output, cam,
+                            offset=(i * k) % cfg.tile_count, count=k)
+        return accum, output
+
+    def run_oracle(self, cfg, scene, steps=2):
+        from l2n_tpu.camera import Camera
+        from l2n_tpu.render.state import init_frame_state
+        from l2n_tpu.render.step import build_render_step
+        step = build_render_step(cfg, scene, backend="xla")
+        st = init_frame_state(cfg)
+        cam = Camera.from_config(cfg).packed()
+        for _ in range(steps):
+            st = step(st, cam)
+        return np.asarray(st.accum), np.asarray(st.output)
+
+    def test_matches_oracle_threefry(self):
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        cfg, scene, nr = self.make()
+        na, no = self.run_native(cfg, nr)
+        ja, jo = self.run_oracle(cfg, scene)
+        np.testing.assert_array_equal(na[3], ja[3])
+        rmse = np.sqrt(((na - ja) ** 2).mean())
+        assert rmse < 1e-3, f"native/oracle RMSE {rmse}"
+        assert (np.abs(no - jo) > 1e-3).mean() < 2e-3
+
+    def test_matches_oracle_normal_aov(self):
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        cfg, scene, nr = self.make(aov="normal")
+        na, no = self.run_native(cfg, nr)
+        ja, jo = self.run_oracle(cfg, scene)
+        diff = np.abs(na - ja)
+        assert (diff > 2e-5).mean() < 1e-3
+        assert np.median(diff) == 0.0
+
+    def test_nee_rejected(self):
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        from l2n_tpu.config import RenderConfig
+        from l2n_tpu.native import NativeTriangleRenderer
+        from l2n_tpu.render.tiles import tile_grid
+        from l2n_tpu.scene import build_triangle_scene, compute_spheres
+        cfg = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=8, disc_lat=8,
+                           disc_long=4, tiles_per_step=1, nee=True,
+                           scene_kind="triangle").validate()
+        spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
+                                  cfg.scene_seed)
+        scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
+        with pytest.raises(NotImplementedError):
+            NativeTriangleRenderer(cfg, scene, tile_grid(cfg))

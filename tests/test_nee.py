@@ -32,15 +32,40 @@ def make_scene():
                        sqr_radius=jnp.asarray(data[:, 3] ** 2))
 
 
-def estimate(nee: bool, bounces: int, n: int = 200_000, seed: int = 0):
-    scene = make_scene()
+def estimate(nee: bool, bounces: int, n: int = 200_000, seed: int = 0,
+             mis: bool = False, scene=None):
+    scene = make_scene() if scene is None else scene
     isect = sphere_intersector(scene)
     cx, cy, cz, r2 = (scene.center_x, scene.center_y, scene.center_z,
                       scene.sqr_radius)
     ls = make_sphere_light_sampler(scene.count, 16,
                                    lambda i: (cx[i], cy[i], cz[i], r2[i]))
     cfg = RenderConfig(width=8, height=8, env_mode="none",
-                       max_bounces=bounces, nee=nee).validate()
+                       max_bounces=bounces, nee=nee, mis=mis).validate()
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    z = jnp.zeros(n, jnp.float32)
+    sampler = ThreefrySampler(seed, 0, pix, jnp.zeros(n, jnp.uint32),
+                              max_pairs_per_sample(bounces, nee))
+    r, g, b = trace_path(cfg, isect, sampler, z, z,
+                         jnp.full(n, 3.0, jnp.float32), z, z,
+                         jnp.full(n, -1.0, jnp.float32),
+                         light_sampler=ls if nee else None)
+    return np.asarray(r)
+
+
+def estimate_triangle(nee: bool, bounces: int, n: int = 100_000,
+                      seed: int = 0, mis: bool = False):
+    """Same shooting-gallery setup over TESSELLATED meshes (the light is
+    mesh 0, emissive by index; Le = scale/(4 pi * 1), glsl:268)."""
+    from l2n_tpu.render.step import make_intersector
+    from l2n_tpu.scene.tessellate import build_triangle_scene
+
+    spheres = make_scene()
+    tri = build_triangle_scene(spheres, 12, 6)
+    cfg = RenderConfig(width=8, height=8, env_mode="none",
+                       max_bounces=bounces, nee=nee, mis=mis,
+                       scene_kind="triangle").validate()
+    isect, _, ls, _ = make_intersector(cfg, tri)
     pix = jnp.arange(n, dtype=jnp.uint32)
     z = jnp.zeros(n, jnp.float32)
     sampler = ThreefrySampler(seed, 0, pix, jnp.zeros(n, jnp.uint32),
@@ -109,7 +134,94 @@ class TestNEE:
         assert (d > 1e-3).mean() < 2e-3
 
     def test_config_validation(self):
-        with pytest.raises(ValueError):
-            RenderConfig(nee=True, scene_kind="triangle").validate()
+        RenderConfig(nee=True, scene_kind="triangle").validate()  # r2: ok now
         with pytest.raises(ValueError):
             RenderConfig(nee=True, rng="tinymt").validate()
+        with pytest.raises(ValueError):
+            RenderConfig(mis=True).validate()  # mis requires nee
+
+
+class TestTriangleNEE:
+    """Cone (solid-angle) NEE over emissive mesh bounds — r1 VERDICT next
+    item 5 (triangle-scene NEE + emissive meshes)."""
+
+    def test_agrees_with_bsdf_estimator(self):
+        a = estimate_triangle(nee=False, bounces=6, n=400_000).mean()
+        b = estimate_triangle(nee=True, bounces=1, n=100_000).mean()
+        assert b == pytest.approx(a, rel=0.15)
+
+    def test_variance_reduction(self):
+        a = estimate_triangle(nee=False, bounces=6, n=50_000)
+        b = estimate_triangle(nee=True, bounces=1, n=50_000)
+        assert b.std() < 0.3 * a.std()
+
+    def test_kernel_parity_with_nee(self):
+        """Pallas triangle kernel with cone NEE vs the oracle."""
+        from l2n_tpu.camera import Camera
+        from l2n_tpu.render.program import TriangleProgram
+        from l2n_tpu.render.state import init_frame_state
+        cfg = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=8, disc_lat=8,
+                           disc_long=4, tiles_per_step=2,
+                           nee=True, env_mode="none").validate()
+        cfg = cfg.replace(scene_kind="triangle")
+        states = {}
+        for backend in ("xla", "pallas"):
+            prog = TriangleProgram(cfg, backend=backend)
+            st = init_frame_state(cfg)
+            cam = Camera.from_config(cfg).packed()
+            for _ in range(2):
+                st = prog.step(st, cam)
+            states[backend] = np.asarray(st.accum)
+        d = np.abs(states["xla"] - states["pallas"])
+        assert np.sqrt((d ** 2).mean()) < 5e-3
+        assert (d > 1e-3).mean() < 2e-3
+
+
+class TestMIS:
+    """Balance-heuristic MIS between NEE and BSDF sampling — r1 VERDICT
+    next item 5 ('MIS on top of the existing NEE')."""
+
+    def test_sphere_mis_matches_plain_nee(self):
+        a = estimate(nee=True, bounces=2, n=200_000).mean()
+        b = estimate(nee=True, bounces=2, n=200_000, mis=True).mean()
+        assert b == pytest.approx(a, rel=0.05)
+
+    def test_triangle_mis_matches_plain_nee(self):
+        a = estimate_triangle(nee=True, bounces=2, n=100_000).mean()
+        b = estimate_triangle(nee=True, bounces=2, n=100_000, mis=True).mean()
+        assert b == pytest.approx(a, rel=0.1)
+
+    def test_big_light_variance(self):
+        """The MIS motivation: for a LARGE light, BSDF sampling is the
+        better strategy and plain NEE's cos_L/d^2 term blows up near the
+        light; MIS must not be (much) worse than either alone."""
+        big = SphereScene(
+            center_x=jnp.asarray([0.0, 0.0]),
+            center_y=jnp.asarray([0.0, 0.0]),
+            center_z=jnp.asarray([8.0, -100.0]),
+            sqr_radius=jnp.asarray([36.0, 99.0 ** 2]))
+        nee_only = estimate(nee=True, bounces=2, n=100_000, scene=big)
+        with_mis = estimate(nee=True, bounces=2, n=100_000, mis=True,
+                            scene=big)
+        assert with_mis.mean() == pytest.approx(nee_only.mean(), rel=0.05)
+        assert with_mis.std() <= nee_only.std() * 1.5
+
+    def test_mis_kernel_parity(self):
+        from l2n_tpu.camera import Camera
+        from l2n_tpu.render.program import SphereProgram
+        from l2n_tpu.render.state import init_frame_state
+        cfg = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=32, tiles_per_step=2,
+                           nee=True, mis=True, env_mode="none").validate()
+        states = {}
+        for backend in ("xla", "pallas"):
+            prog = SphereProgram(cfg, backend=backend)
+            st = init_frame_state(cfg)
+            cam = Camera.from_config(cfg).packed()
+            for _ in range(2):
+                st = prog.step(st, cam)
+            states[backend] = np.asarray(st.accum)
+        d = np.abs(states["xla"] - states["pallas"])
+        assert np.sqrt((d ** 2).mean()) < 5e-3
+        assert (d > 1e-3).mean() < 2e-3

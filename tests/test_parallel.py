@@ -135,3 +135,79 @@ class TestShardedStep:
         np.testing.assert_array_equal(a[:, 3], b[:, 3])
         diff = np.abs(a - b)
         assert (diff > 1e-3).mean() < 1e-3  # statistical parity budget
+
+
+class TestShardedTriangle:
+    """Sharded triangle pallas backend — r1 VERDICT next item 6."""
+
+    TRI_CFG = RenderConfig(width=256, height=128, tile_width=128,
+                           tile_height=32, sphere_count=8, disc_lat=8,
+                           disc_long=4, tiles_per_step=1,
+                           scene_kind="triangle").validate()
+
+    def test_pallas_backend_matches_xla_backend(self):
+        from l2n_tpu.parallel.step import build_sharded_step, init_sharded_state
+        from l2n_tpu.scene import build_triangle_scene, compute_spheres
+        mesh = make_device_mesh(4, 2)
+        cfg = self.TRI_CFG
+        spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
+                                  cfg.scene_seed)
+        scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
+        cam = Camera.from_config(cfg)
+        accums = {}
+        for be in ("xla", "pallas"):
+            step = build_sharded_step(cfg, scene, mesh, backend=be)
+            st = init_sharded_state(cfg, mesh)
+            for _ in range(2):
+                st = step(st, cam.packed())
+            accums[be] = np.asarray(st.accum)
+        a, b = accums["xla"], accums["pallas"]
+        np.testing.assert_array_equal(a[:, 3], b[:, 3])
+        diff = np.abs(a - b)
+        assert (diff > 1e-3).mean() < 1e-3
+
+
+class TestShardedCheckpoint:
+    """Sharded session checkpoint + bit-exact resume — r1 VERDICT item 6."""
+
+    def test_save_resume_bit_exact(self, tmp_path):
+        r = make_renderer(4, 2)
+        cam = Camera.from_config(CFG)
+        r.step(cam)
+        r.step(cam)
+        path = r.save_session(tmp_path / "sharded.npz",
+                              view_matrix=cam.view_matrix)
+
+        # Continue the original two more steps.
+        r.step(cam)
+        r.step(cam)
+        want = np.asarray(r.state.accum)
+
+        # Fresh renderer resumes from the checkpoint and takes the same
+        # two steps: counter-based RNG makes this bit-exact.
+        r2 = make_renderer(4, 2)
+        view = r2.load_session(path)
+        np.testing.assert_array_equal(view, cam.view_matrix)
+        r2.step(cam)
+        r2.step(cam)
+        np.testing.assert_array_equal(np.asarray(r2.state.accum), want)
+
+    def test_mesh_mismatch_raises(self, tmp_path):
+        r = make_renderer(4, 2)
+        cam = Camera.from_config(CFG)
+        r.step(cam)
+        path = r.save_session(tmp_path / "s.npz")
+        from l2n_tpu.utils.checkpoint import load_sharded_session
+        with pytest.raises(ValueError):
+            load_sharded_session(path, make_device_mesh(2, 4))
+
+
+class TestStatefulRngErrorPath:
+    """Stateful parity RNG is explicitly single-chip (r1 VERDICT item 6:
+    'either stateful-RNG sharding or an explicit tested error-path')."""
+
+    def test_tinymt_raises(self):
+        from l2n_tpu.parallel.step import init_sharded_state
+        mesh = make_device_mesh(4, 2)
+        with pytest.raises(NotImplementedError):
+            init_sharded_state(CFG.replace(rng="tinymt"), mesh)
