@@ -61,8 +61,10 @@ _TA, _DTB, _DTC = 18, 20, 22
 _N_ROWS = 24
 
 # Within-mesh spatial clusters (power of two; tpad is a multiple of 128 so
-# cluster size stays register-friendly).
-_CLUSTERS = 4
+# cluster size stays register-friendly). 8 measured best on v5e for the
+# reference scene (155 -> 124 ms/frame-spp vs 4; 16 fails to compile and
+# would be gate-overhead-bound anyway).
+_CLUSTERS = 8
 
 
 def pack_mesh_blocks(

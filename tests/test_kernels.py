@@ -139,10 +139,11 @@ class TestTriangleKernel:
         assert sphere_normals
         # Cluster bounds: each non-empty cluster's bound contains all of its
         # triangles' corners and sits inside the mesh bound's reach.
-        assert cbounds.shape == (4, 4, 5)
-        csize = blocks.shape[2] // 4
+        from l2n_tpu.ops.kernels.triangle_pt import _CLUSTERS
+        assert cbounds.shape == (4, _CLUSTERS, 5)
+        csize = blocks.shape[2] // _CLUSTERS
         for m in range(4):
-            for c in range(4):
+            for c in range(_CLUSTERS):
                 if cbounds[m, c, 3] < 0:
                     continue
                 blk = blocks[m, :, c * csize:(c + 1) * csize]
