@@ -30,7 +30,10 @@ class Application:
     def __init__(self, cfg: RenderConfig | None = None,
                  workdir: str | Path = ".", backend: str = "auto",
                  renderer_names: Iterable[str] = ("spherePT", "trianglePT"),
-                 initial_renderer: str | None = None):
+                 initial_renderer: str | None = None,
+                 triangle_scene=None):
+        """`triangle_scene` overrides the procedural tessellation for the
+        trianglePT renderer — e.g. an OBJ file via scene.obj.load_obj."""
         self.cfg = (cfg or RenderConfig()).validate()
         self.workdir = Path(workdir)
 
@@ -38,7 +41,8 @@ class Application:
         if "spherePT" in renderer_names:
             programs["spherePT"] = SphereProgram(self.cfg, backend=backend)
         if "trianglePT" in renderer_names:
-            programs["trianglePT"] = TriangleProgram(self.cfg, backend=backend)
+            programs["trianglePT"] = TriangleProgram(
+                self.cfg, scene=triangle_scene, backend=backend)
         # The reference starts on the triangle renderer (rendererIndex = 1,
         # main.cpp:899) — default to the sphere PT here (the flagship), but
         # keep it selectable.
@@ -112,6 +116,8 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover
     p.add_argument("--every", type=int, default=16, help="PNG every N frames")
     p.add_argument("--renderer", default=None,
                    choices=["spherePT", "trianglePT"])
+    p.add_argument("--obj", type=Path, default=None,
+                   help="render this OBJ file with the triangle renderer")
     p.add_argument("--ansi", action="store_true", help="terminal preview")
     p.add_argument("--backend", default="auto")
     args = p.parse_args(argv)
@@ -119,8 +125,19 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover
     logging.basicConfig(level=logging.INFO)
     cfg = (RenderConfig.from_json(args.config.read_text())
            if args.config else RenderConfig())
+    triangle_scene = None
+    renderer = args.renderer
+    renderer_names = ("spherePT", "trianglePT")
+    if args.obj is not None:
+        from l2n_tpu.scene.obj import load_obj
+        triangle_scene = load_obj(args.obj)
+        renderer = "trianglePT"
+        renderer_names = ("trianglePT",)
+        cfg = cfg.replace(scene_kind="triangle")
     app = Application(cfg, backend=args.backend,
-                      initial_renderer=args.renderer)
+                      renderer_names=renderer_names,
+                      initial_renderer=renderer,
+                      triangle_scene=triangle_scene)
     display = (AnsiDisplay() if args.ansi
                else PngSequenceDisplay(args.out, every=args.every))
     app.run(args.frames, display=display, metrics_every=32)

@@ -120,6 +120,8 @@ def pack_mesh_blocks(
     def _median_split(order, cents, levels):
         if levels == 0:
             return [order]
+        if len(order) == 0:  # tiny meshes: fewer triangles than clusters
+            return [order] * (1 << levels)
         axis = int(np.argmax(cents[order].max(0) - cents[order].min(0)))
         srt = order[np.argsort(cents[order][:, axis], kind="stable")]
         half = (len(srt) + 1) // 2

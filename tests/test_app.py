@@ -104,3 +104,29 @@ class TestImageIO:
         x = np.array([[[-1.0, 0.5, 2.0]]], np.float32)
         u = tonemap_to_u8(x)
         assert u.tolist() == [[[0, 128, 255]]]
+
+
+class TestObjCli:
+    def test_render_obj_via_cli(self, tmp_path):
+        """--obj drives the triangle renderer with a loaded mesh (also
+        covers clustering of meshes smaller than the cluster count)."""
+        obj = tmp_path / "quad.obj"
+        obj.write_text(
+            "v -200 -50 -300\nv 200 -50 -300\nv 200 50 -300\n"
+            "v -200 50 -300\nvn 0 0 1\nf 1//1 2//1 3//1\nf 1//1 3//1 4//1\n")
+        cfgp = tmp_path / "cfg.json"
+        cfgp.write_text('{"width": 128, "height": 64, "tiles_per_step": 2}')
+        import contextlib
+        import os
+        from l2n_tpu.app.application import main
+        out = tmp_path / "frames"
+        cwd = os.getcwd()
+        os.chdir(tmp_path)  # camera cache lands here
+        try:
+            rc = main(["--frames", "3", "--out", str(out), "--every", "2",
+                       "--obj", str(obj), "--config", str(cfgp)])
+        finally:
+            os.chdir(cwd)
+        assert rc == 0
+        assert (out / "frame_00000.png").exists()
+        assert (out / "frame_00002.png").exists()
