@@ -86,3 +86,74 @@ class TestGoldenRender:
         mean_diff = np.abs(accum[:3] / np.maximum(accum[3], 1)
                            - want[:3] / np.maximum(want[3], 1))
         assert np.sqrt((mean_diff ** 2).mean()) < 0.03
+
+
+TRI_GOLDEN_PATH = Path(__file__).parent / "golden" / "triangle_pt_256x128_4spp.npz"
+
+
+@pytest.fixture(scope="module")
+def tri_golden():
+    with np.load(TRI_GOLDEN_PATH) as data:
+        cfg = RenderConfig.from_json(bytes(data["config"]).decode())
+        return cfg, data["accum"]
+
+
+def render_triangle(cfg, backend):
+    from l2n_tpu.scene import build_triangle_scene
+    spheres = compute_spheres(cfg.sphere_count, cfg.world_size, cfg.scene_seed)
+    scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
+    step = build_render_step(cfg, scene, backend=backend)
+    st = init_frame_state(cfg)
+    cam = Camera.from_config(cfg).packed()
+    for _ in range(4):
+        st = step(st, cam)
+    return np.asarray(st.accum), scene
+
+
+class TestTriangleGoldenRender:
+    """Same golden-image gates for the second renderer family (the round-1
+    suite only pinned the sphere scene)."""
+
+    def test_xla_oracle_bit_stable(self, tri_golden):
+        cfg, want = tri_golden
+        got, _ = render_triangle(cfg, "xla")
+        np.testing.assert_array_equal(got[3], want[3])
+        d = np.abs(got - want)
+        assert (d > 1e-3).mean() < 1e-3
+        assert np.sqrt((d ** 2).mean()) < 1e-3
+
+    def test_pallas_matches_golden(self, tri_golden):
+        cfg, want = tri_golden
+        got, _ = render_triangle(cfg, "pallas")
+        np.testing.assert_array_equal(got[3], want[3])
+        d = np.abs(got - want)
+        assert (d > 1e-3).mean() < 0.03
+        mean_diff = np.abs(got[:3] / np.maximum(got[3], 1)
+                           - want[:3] / np.maximum(want[3], 1))
+        assert np.sqrt((mean_diff ** 2).mean()) < 0.03
+
+    def test_native_matches_golden(self, tri_golden):
+        import l2n_tpu.native as native
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        from l2n_tpu.native import NativeTriangleRenderer
+        from l2n_tpu.scene import build_triangle_scene
+        cfg, want = tri_golden
+        spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
+                                  cfg.scene_seed)
+        scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
+        nr = NativeTriangleRenderer(cfg, scene, tile_grid(cfg))
+        st = init_frame_state(cfg)
+        accum = np.asarray(st.accum).copy()
+        output = np.asarray(st.output).copy()
+        cam = Camera.from_config(cfg).packed()
+        k = cfg.effective_tiles_per_step
+        for i in range(4):
+            nr.render_tiles(accum, output, cam,
+                            offset=(i * k) % cfg.tile_count, count=k)
+        np.testing.assert_array_equal(accum[3], want[3])
+        d = np.abs(accum - want)
+        assert (d > 1e-3).mean() < 0.03
+        mean_diff = np.abs(accum[:3] / np.maximum(accum[3], 1)
+                           - want[:3] / np.maximum(want[3], 1))
+        assert np.sqrt((mean_diff ** 2).mean()) < 0.03
