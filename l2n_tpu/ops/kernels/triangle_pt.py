@@ -174,7 +174,7 @@ def pack_mesh_blocks(
         if not sel.any():
             continue
         c = bounds[m, :3]
-        a = v1s_ = np.stack([soup[f"v1{ax}"][sel] for ax in "xyz"], 1) - c
+        a = np.stack([soup[f"v1{ax}"][sel] for ax in "xyz"], 1) - c
         b = a + np.stack([soup[f"e1{ax}"][sel] for ax in "xyz"], 1)
         cc = a + np.stack([soup[f"e2{ax}"][sel] for ax in "xyz"], 1)
         # van Oosterom-Strackee signed solid angle per triangle.

@@ -7,8 +7,6 @@ tileCountPerIteration input + renderer combo, src/main.cpp:969-983).
 
 from __future__ import annotations
 
-import io
-
 import numpy as np
 import pytest
 

@@ -124,6 +124,23 @@ class TestTriangleKernel:
         d = np.abs(np.asarray(so.accum) - np.asarray(sp.accum))
         assert (d > 1e-4).mean() < 1e-3
 
+    def test_param_uv_aov(self):
+        # Barycentric AOV exercises the slow (full-attribute) sweep.
+        cfg = self.TRI_CFG.replace(aov="param_uv")
+        so = self.run("xla", cfg)
+        sp = self.run("pallas", cfg)
+        d = np.abs(np.asarray(so.accum) - np.asarray(sp.accum))
+        assert (d > 1e-4).mean() < 1e-3
+
+    def test_ambient_occlusion_aov(self):
+        cfg = self.TRI_CFG.replace(aov="ambient_occlusion")
+        so = self.run("xla", cfg)
+        sp = self.run("pallas", cfg)
+        np.testing.assert_array_equal(np.asarray(so.accum[3]),
+                                      np.asarray(sp.accum[3]))
+        d = np.abs(np.asarray(so.accum) - np.asarray(sp.accum))
+        assert (d > 1e-3).mean() < 2e-3
+
     def test_pack_mesh_blocks(self):
         from l2n_tpu.ops.kernels.triangle_pt import pack_mesh_blocks
         from l2n_tpu.scene import build_triangle_scene, compute_spheres
