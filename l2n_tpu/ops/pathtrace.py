@@ -132,6 +132,268 @@ def generate_rays(cfg, cam, px, py, u1, u2):
 # Path tracing (the "pathtracing" render mode)
 # ---------------------------------------------------------------------------
 
+def _env_term(cfg, edx, edy, edz):
+    """Environment radiance for a miss direction (glsl:312-314)."""
+    return (env_radiance(cfg.env_mode, edx, edy, edz)
+            * jnp.float32(cfg.env_scale))
+
+
+def _emit_term(cfg, emis_r2):
+    """scale / (4 pi r^2) (glsl:288), guarded where r2 is meaningless."""
+    f32 = jnp.float32
+    return f32(cfg.emission_scale) / (f32(4.0 * PI)
+                                      * jnp.maximum(emis_r2, f32(1e-20)))
+
+
+def _resolve_vertex(cfg, light_sampler, use_nee, use_mis, dist,
+                    bdx, bdy, bdz, cur_t, nx, ny, nz, index, emis_r2,
+                    bound_r2, tp_r, tp_g, tp_b, col_r, col_g, col_b,
+                    prev_pdf, emission_ok):
+    """Emissive resolve at a bounce vertex (loop iterations b >= 1):
+    emissive lanes add their weighted radiance and terminate
+    (glsl:285-290). Returns (dist', diffuse, col_r', col_g', col_b')."""
+    f32 = jnp.float32
+    active = dist >= 0.0  # while (dist >= 0.0 ...), glsl:280
+    emissive = active & (index % cfg.emissive_every == 0)
+    diffuse = active & ~emissive
+    emit = _emit_term(cfg, emis_r2)
+    if use_mis:
+        # BSDF-found emission weighted against the NEE pdf of the same
+        # direction (every lane here arrived via a BSDF-sampled bounce,
+        # so prev_pdf is its pdf).
+        from l2n_tpu.ops.nee import mis_emission_weight
+        emit = emit * mis_emission_weight(
+            cfg, light_sampler.kind, light_sampler.n_lights,
+            prev_pdf, bdx, bdy, bdz, cur_t, nx, ny, nz, emis_r2, bound_r2)
+        add_em = emissive
+    elif use_nee:
+        add_em = emissive & (emission_ok == 1)
+    else:
+        add_em = emissive
+    col_r = jnp.where(add_em, col_r + tp_r * emit, col_r)
+    col_g = jnp.where(add_em, col_g + tp_g * emit, col_g)
+    col_b = jnp.where(add_em, col_b + tp_b * emit, col_b)
+    dist = jnp.where(emissive, f32(-2.0), dist)
+    return dist, diffuse, col_r, col_g, col_b
+
+
+def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
+                          use_mis, b, box, boy, boz, bdx, bdy, bdz, cur_t,
+                          nx, ny, nz, index, diffuse, tp_r, tp_g, tp_b,
+                          col_r, col_g, col_b, prev_pdf, emission_ok,
+                          stats=None):
+    """The per-vertex block shared by the single-pass tracer and the
+    wavefront split: BSDF sample (procedural Lambert, glsl:292-300, or the
+    microfacet wishlist lobe), optional NEE, throughput update, Russian
+    roulette (glsl:302-309), continuation-ray origin (far-parked for dead
+    lanes so downstream bound tests NaN-poison, see trace_path).
+
+    Returns (box, boy, boz, bdx, bdy, bdz, tp_r, tp_g, tp_b, col_r, col_g,
+    col_b, prev_pdf, emission_ok, survive, cast_ox, cast_oy, cast_oz)."""
+    f32 = jnp.float32
+    hx = box + cur_t * bdx
+    hy = boy + cur_t * bdy
+    hz = boz + cur_t * bdz
+    kd_r, kd_g, kd_b = procedural_color(index)
+    brdf_eval = None
+    if cfg.material_mode == "microfacet":
+        from l2n_tpu.maths.brdf import (
+            eval_brdf,
+            procedural_roughness,
+            sample_brdf,
+        )
+        nhx, nhy, nhz = normalize3(nx, ny, nz)
+        tangent, bitangent = frame_z(nhx, nhy, nhz)
+        rough = procedural_roughness(index)
+        wox, woy, woz = -bdx, -bdy, -bdz
+        u1, u2 = sampler.draw2(mask=diffuse)
+        u_lobe = sampler.draw1(mask=diffuse)
+        (wdx, wdy, wdz, w_r, w_g, w_b, pdf_b) = sample_brdf(
+            u_lobe, u1, u2, nhx, nhy, nhz, tangent, bitangent,
+            wox, woy, woz, kd_r, kd_g, kd_b, rough)
+        if use_mis:
+            prev_pdf = jnp.where(diffuse, pdf_b, prev_pdf)
+        if use_nee:
+            def brdf_eval(lx, ly, lz, _n=(nhx, nhy, nhz),
+                          _wo=(wox, woy, woz),
+                          _kd=(kd_r, kd_g, kd_b), _ro=rough):
+                return eval_brdf(_n[0], _n[1], _n[2],
+                                 _wo[0], _wo[1], _wo[2],
+                                 lx, ly, lz,
+                                 _kd[0], _kd[1], _kd[2], _ro)
+    else:
+        tangent, bitangent = frame_z(nx, ny, nz)
+        u1, u2 = sampler.draw2(mask=diffuse)
+        (lx, ly, lz), _ = cosine_sample_hemisphere(u1, u2)
+        wdx, wdy, wdz = local_to_world(lx, ly, lz, tangent,
+                                       bitangent, (nx, ny, nz))
+        wdx, wdy, wdz = normalize3(wdx, wdy, wdz)
+        w_r, w_g, w_b = kd_r, kd_g, kd_b
+        if use_mis:
+            # Cosine-hemisphere pdf of the sampled direction (lz is the
+            # local cos theta); approximate under the reference's
+            # unnormalized frame, which only redistributes MIS weight.
+            prev_pdf = jnp.where(diffuse, lz * f32(1.0 / PI), prev_pdf)
+
+    if use_nee:
+        # Direct light sampling at this diffuse vertex (uses the
+        # pre-multiplication throughput and the vertex albedo).
+        # MIS-weighted except on the LAST iteration, whose BSDF side can
+        # never collect its emission (the loop truncates, mirroring the
+        # reference's pathLength cap) — NEE keeps full weight there so no
+        # energy is lost.
+        mis_here = use_mis and (b + 1 < cfg.max_bounces)
+        u_pick = sampler.draw1(mask=diffuse)
+        ul1, ul2 = sampler.draw2(mask=diffuse)
+        if light_sampler.kind == "area":
+            from l2n_tpu.ops.nee import nee_contribution
+            light = light_sampler(u_pick, ul1, ul2)
+            dr, dg, db = nee_contribution(
+                cfg, light_sampler.n_lights, intersect, light,
+                hx, hy, hz, nx, ny, nz, kd_r, kd_g, kd_b,
+                tp_r, tp_g, tp_b, mis=mis_here,
+                brdf_eval=brdf_eval)
+        else:
+            from l2n_tpu.ops.nee import nee_cone_contribution
+            dr, dg, db = nee_cone_contribution(
+                cfg, light_sampler, intersect, u_pick, ul1, ul2,
+                hx, hy, hz, nx, ny, nz, kd_r, kd_g, kd_b,
+                tp_r, tp_g, tp_b, mis=mis_here,
+                brdf_eval=brdf_eval)
+        col_r = jnp.where(diffuse, col_r + dr, col_r)
+        col_g = jnp.where(diffuse, col_g + dg, col_g)
+        col_b = jnp.where(diffuse, col_b + db, col_b)
+        if not use_mis:
+            emission_ok = jnp.where(diffuse, 0, emission_ok)
+
+    box = jnp.where(diffuse, hx, box)
+    boy = jnp.where(diffuse, hy, boy)
+    boz = jnp.where(diffuse, hz, boz)
+    bdx = jnp.where(diffuse, wdx, bdx)
+    bdy = jnp.where(diffuse, wdy, bdy)
+    bdz = jnp.where(diffuse, wdz, bdz)
+    tp_r = jnp.where(diffuse, tp_r * w_r, tp_r)
+    tp_g = jnp.where(diffuse, tp_g * w_g, tp_g)
+    tp_b = jnp.where(diffuse, tp_b * w_b, tp_b)
+
+    # Russian roulette (glsl:302-309): survive with p = min(ceiling,
+    # luminance(throughput)); survivors get throughput / p.
+    rr = sampler.draw1(mask=diffuse)
+    rr_prob = jnp.minimum(f32(cfg.rr_ceiling),
+                          luminance(tp_r, tp_g, tp_b))
+    survive = diffuse & (rr < rr_prob)
+    rcp_p = f32(1.0) / jnp.maximum(rr_prob, f32(1e-20))
+    tp_r = jnp.where(survive, tp_r * rcp_p, tp_r)
+    tp_g = jnp.where(survive, tp_g * rcp_p, tp_g)
+    tp_b = jnp.where(survive, tp_b * rcp_p, tp_b)
+
+    if stats is not None:
+        # Physical ray-segment accounting for throughput metrics:
+        # survivors cast one more scene ray (the primary is always 1).
+        stats.setdefault("survive_fraction", []).append(
+            jnp.mean(survive.astype(f32)))
+    # Continuation ray from org + eps*dir (glsl:305). Lockstep: computed
+    # for every lane, merged into survivors. Dead lanes cast from a
+    # far-away origin so block-level culls (mesh bounds) are not kept
+    # alive by results nobody will merge; 3e30 overflows squared-distance
+    # terms, NaN-poisoning those lanes' tests outright.
+    far = f32(3.0e30)
+    cast_ox = jnp.where(survive, box + f32(cfg.ray_epsilon) * bdx, far)
+    cast_oy = jnp.where(survive, boy + f32(cfg.ray_epsilon) * bdy, far)
+    cast_oz = jnp.where(survive, boz + f32(cfg.ray_epsilon) * bdz, far)
+    return (box, boy, boz, bdx, bdy, bdz, tp_r, tp_g, tp_b,
+            col_r, col_g, col_b, prev_pdf, emission_ok, survive,
+            cast_ox, cast_oy, cast_oz)
+
+
+def _hit_bound_r2(h: Hit):
+    return h.bound_r2 if h.bound_r2 is not None else h.emis_r2
+
+
+def _finish_path(cfg, intersect, sampler, start_b, entered, pending, dist,
+                 cast_ox, cast_oy, cast_oz, bdx, bdy, bdz,
+                 tp_r, tp_g, tp_b, col_r, col_g, col_b,
+                 prev_pdf, emission_ok,
+                 intersect_anyhit=None, light_sampler=None,
+                 use_nee=False, use_mis=False, stats=None):
+    """Finish a path from a PENDING cast ray issued at iteration start_b - 1:
+    intersect it, then run iterations start_b .. max_bounces-1 and the final
+    environment resolve (glsl:312-314).
+
+    `pending` marks lanes whose cast is live (others keep their `dist`
+    sentinel); `entered` marks lanes that were diffuse at the primary vertex
+    (the env gate — primary misses resolved their sky before the bounce
+    region, see trace_path). Shared verbatim by the single-pass tracer and
+    the wavefront split's pass B, which is what makes the two render paths
+    bit-identical under counter-based RNG.
+
+    Winner state from a cast (normals/index/emis_r2) is deliberately NOT
+    merged over non-surviving lanes: every consumer is gated by masks derived
+    from `dist`, which IS merged — resolved lanes can observe garbage values
+    but never keep them.
+    """
+    f32 = jnp.float32
+
+    def env_add(col_r, col_g, col_b, dist, edx, edy, edz):
+        if cfg.env_mode == "none":
+            return col_r, col_g, col_b
+        env_ok = entered & (dist == f32(-1.0))
+        le = _env_term(cfg, edx, edy, edz)
+        return (jnp.where(env_ok, col_r + tp_r * le, col_r),
+                jnp.where(env_ok, col_g + tp_g * le, col_g),
+                jnp.where(env_ok, col_b + tp_b * le, col_b))
+
+    if start_b >= cfg.max_bounces:
+        # The pending cast is the path's FINAL segment: its nearest hit is
+        # only ever compared with the miss sentinel (glsl:312-314), so a
+        # boolean any-hit resolve suffices.
+        if intersect_anyhit is not None:
+            hit_any = intersect_anyhit(cast_ox, cast_oy, cast_oz,
+                                       bdx, bdy, bdz)
+        else:
+            hit_any = intersect(cast_ox, cast_oy, cast_oz,
+                                bdx, bdy, bdz).t >= 0.0
+        dist = jnp.where(pending,
+                         jnp.where(hit_any, f32(1.0), f32(-1.0)), dist)
+        return env_add(col_r, col_g, col_b, dist, bdx, bdy, bdz)
+
+    new = intersect(cast_ox, cast_oy, cast_oz, bdx, bdy, bdz)
+    dist = jnp.where(pending, new.t, dist)
+    box, boy, boz = cast_ox, cast_oy, cast_oz
+    cur_t, nx, ny, nz = new.t, new.nx, new.ny, new.nz
+    index, emis_r2, bound_r2 = new.index, new.emis_r2, _hit_bound_r2(new)
+
+    for b in range(start_b, cfg.max_bounces):
+        # Resolve this iteration's incoming hit: emissive lanes add their
+        # weighted radiance and terminate (glsl:285-290).
+        dist, diffuse, col_r, col_g, col_b = _resolve_vertex(
+            cfg, light_sampler, use_nee, use_mis, dist,
+            bdx, bdy, bdz, cur_t, nx, ny, nz, index, emis_r2,
+            bound_r2, tp_r, tp_g, tp_b, col_r, col_g, col_b,
+            prev_pdf, emission_ok)
+        (box, boy, boz, bdx, bdy, bdz, tp_r, tp_g, tp_b,
+         col_r, col_g, col_b, prev_pdf, emission_ok, survive,
+         cast_ox, cast_oy, cast_oz) = _scatter_and_roulette(
+            cfg, intersect, sampler, light_sampler, use_nee, use_mis,
+            b, box, boy, boz, bdx, bdy, bdz, cur_t, nx, ny, nz, index,
+            diffuse, tp_r, tp_g, tp_b, col_r, col_g, col_b, prev_pdf,
+            emission_ok, stats=stats)
+        dist = jnp.where(diffuse & ~survive, f32(-2.0), dist)
+        if b + 1 == cfg.max_bounces and intersect_anyhit is not None:
+            hit_any = intersect_anyhit(cast_ox, cast_oy, cast_oz,
+                                       bdx, bdy, bdz)
+            dist = jnp.where(survive,
+                             jnp.where(hit_any, f32(1.0), f32(-1.0)), dist)
+        else:
+            new = intersect(cast_ox, cast_oy, cast_oz, bdx, bdy, bdz)
+            dist = jnp.where(survive, new.t, dist)
+            cur_t, nx, ny, nz = new.t, new.nx, new.ny, new.nz
+            index, emis_r2 = new.index, new.emis_r2
+            bound_r2 = _hit_bound_r2(new)
+
+    return env_add(col_r, col_g, col_b, dist, bdx, bdy, bdz)
+
+
 def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
                skip_empty: bool = False, stats: dict | None = None,
                intersect_primary: IntersectFn | None = None,
@@ -164,17 +426,6 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
     use_mis = use_nee and cfg.mis
     use_cond = skip_empty and not getattr(sampler, "stateful", False)
 
-    def hit_bound_r2(h):
-        return h.bound_r2 if h.bound_r2 is not None else h.emis_r2
-
-    def env_term(edx, edy, edz):
-        return env_radiance(cfg.env_mode, edx, edy, edz) * f32(cfg.env_scale)
-
-    def emit_term(emis_r2):
-        # scale / (4 pi r^2) (glsl:288), guarded where r2 is meaningless.
-        return f32(cfg.emission_scale) / (f32(4.0 * PI) *
-                                          jnp.maximum(emis_r2, f32(1e-20)))
-
     # The primary cast may use a specialized sweep (constant origin, tile
     # cone culling); bounce casts see arbitrary rays and use the full one.
     hit = (intersect_primary or intersect)(ox, oy, oz, dx, dy, dz)
@@ -187,219 +438,39 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
     p_active = hit.t >= 0.0
     p_emissive = p_active & (hit.index % cfg.emissive_every == 0)
     p_diffuse = p_active & ~p_emissive
-    base = jnp.where(p_emissive, emit_term(hit.emis_r2), f32(0.0))
+    base = jnp.where(p_emissive, _emit_term(cfg, hit.emis_r2), f32(0.0))
     if cfg.env_mode != "none":
         # Unconditional: the sky is most of the frame, and a branch costs
         # about as much as the whole Mandelbrot evaluation.
-        base = base + jnp.where(hit.t == f32(-1.0), env_term(dx, dy, dz),
-                                f32(0.0))
+        base = base + jnp.where(hit.t == f32(-1.0),
+                                _env_term(cfg, dx, dy, dz), f32(0.0))
     col_r = col_g = col_b = base
 
     def run_bounces(cols):
         col_r, col_g, col_b = cols
-        tp_r = tp_g = tp_b = jnp.ones(shape, f32)
+        ones = jnp.ones(shape, f32)
         # dist: tri-state sentinel (>=0 hit, -1 miss, -2 terminated);
         # primary emissive/miss lanes are already resolved above.
         dist = jnp.where(p_emissive, f32(-2.0), hit.t)
-        state = (ox, oy, oz, dx, dy, dz, hit.t, hit.nx, hit.ny, hit.nz,
-                 hit.index, hit.emis_r2, hit_bound_r2(hit))
-        # BSDF sampling pdf of the ray that produced the CURRENT hit (for
-        # the MIS emission weight); primary rays are camera-deterministic.
-        prev_pdf = jnp.ones(shape, f32)
-        # emission_ok: under NEE, emission is only collected on camera-direct
-        # hits; every diffuse vertex accounts for lights explicitly (int32
-        # mask — boolean vectors break Mosaic loop/branch legalization).
-        emission_ok = jnp.ones(shape, jnp.int32)
-        diffuse = p_diffuse
-
-        for b in range(cfg.max_bounces):
-            (box, boy, boz, bdx, bdy, bdz, cur_t, nx, ny, nz, index,
-             emis_r2, bound_r2) = state
-            if b > 0:
-                # Resolve this iteration's hit (iteration 0's was resolved
-                # before the branch): emissive lanes add and terminate
-                # (glsl:285-290).
-                active = dist >= 0.0  # while (dist >= 0.0 ...), glsl:280
-                emissive = active & (index % cfg.emissive_every == 0)
-                diffuse = active & ~emissive
-                emit = emit_term(emis_r2)
-                if use_mis:
-                    # BSDF-found emission weighted against the NEE pdf of
-                    # the same direction (every lane here arrived via a
-                    # BSDF-sampled bounce, so prev_pdf is its pdf).
-                    from l2n_tpu.ops.nee import mis_emission_weight
-                    emit = emit * mis_emission_weight(
-                        cfg, light_sampler.kind, light_sampler.n_lights,
-                        prev_pdf, bdx, bdy, bdz, cur_t, nx, ny, nz,
-                        emis_r2, bound_r2)
-                    add_em = emissive
-                elif use_nee:
-                    add_em = emissive & (emission_ok == 1)
-                else:
-                    add_em = emissive
-                col_r = jnp.where(add_em, col_r + tp_r * emit, col_r)
-                col_g = jnp.where(add_em, col_g + tp_g * emit, col_g)
-                col_b = jnp.where(add_em, col_b + tp_b * emit, col_b)
-                dist = jnp.where(emissive, f32(-2.0), dist)
-
-            # Scatter at the hit point. "procedural" (reference parity,
-            # glsl:292-300): cosine-sample the hemisphere around the
-            # (reference: unnormalized interpolated) shading normal and
-            # multiply throughput by the hashed albedo. "microfacet"
-            # (wishlist TODO.md:5): sample the GGX+Lambert mixture.
-            hx = box + cur_t * bdx
-            hy = boy + cur_t * bdy
-            hz = boz + cur_t * bdz
-            kd_r, kd_g, kd_b = procedural_color(index)
-            brdf_eval = None
-            if cfg.material_mode == "microfacet":
-                from l2n_tpu.maths.brdf import (
-                    eval_brdf,
-                    procedural_roughness,
-                    sample_brdf,
-                )
-                nhx, nhy, nhz = normalize3(nx, ny, nz)
-                tangent, bitangent = frame_z(nhx, nhy, nhz)
-                rough = procedural_roughness(index)
-                wox, woy, woz = -bdx, -bdy, -bdz
-                u1, u2 = sampler.draw2(mask=diffuse)
-                u_lobe = sampler.draw1(mask=diffuse)
-                (wdx, wdy, wdz, w_r, w_g, w_b, pdf_b) = sample_brdf(
-                    u_lobe, u1, u2, nhx, nhy, nhz, tangent, bitangent,
-                    wox, woy, woz, kd_r, kd_g, kd_b, rough)
-                if use_mis:
-                    prev_pdf = jnp.where(diffuse, pdf_b, prev_pdf)
-                if use_nee:
-                    def brdf_eval(lx, ly, lz, _n=(nhx, nhy, nhz),
-                                  _wo=(wox, woy, woz),
-                                  _kd=(kd_r, kd_g, kd_b), _ro=rough):
-                        return eval_brdf(_n[0], _n[1], _n[2],
-                                         _wo[0], _wo[1], _wo[2],
-                                         lx, ly, lz,
-                                         _kd[0], _kd[1], _kd[2], _ro)
-            else:
-                tangent, bitangent = frame_z(nx, ny, nz)
-                u1, u2 = sampler.draw2(mask=diffuse)
-                (lx, ly, lz), _ = cosine_sample_hemisphere(u1, u2)
-                wdx, wdy, wdz = local_to_world(lx, ly, lz, tangent,
-                                               bitangent, (nx, ny, nz))
-                wdx, wdy, wdz = normalize3(wdx, wdy, wdz)
-                w_r, w_g, w_b = kd_r, kd_g, kd_b
-                if use_mis:
-                    # Cosine-hemisphere pdf of the sampled direction (lz is
-                    # the local cos theta); approximate under the
-                    # reference's unnormalized frame, which only
-                    # redistributes MIS weight.
-                    prev_pdf = jnp.where(diffuse, lz * f32(1.0 / PI),
-                                         prev_pdf)
-
-            if use_nee:
-                # Direct light sampling at this diffuse vertex (uses the
-                # pre-multiplication throughput and the vertex albedo).
-                # MIS-weighted except on the LAST iteration, whose BSDF
-                # side can never collect its emission (the loop truncates,
-                # mirroring the reference's pathLength cap) — NEE keeps
-                # full weight there so no energy is lost.
-                mis_here = use_mis and (b + 1 < cfg.max_bounces)
-                u_pick = sampler.draw1(mask=diffuse)
-                ul1, ul2 = sampler.draw2(mask=diffuse)
-                if light_sampler.kind == "area":
-                    from l2n_tpu.ops.nee import nee_contribution
-                    light = light_sampler(u_pick, ul1, ul2)
-                    dr, dg, db = nee_contribution(
-                        cfg, light_sampler.n_lights, intersect, light,
-                        hx, hy, hz, nx, ny, nz, kd_r, kd_g, kd_b,
-                        tp_r, tp_g, tp_b, mis=mis_here,
-                        brdf_eval=brdf_eval)
-                else:
-                    from l2n_tpu.ops.nee import nee_cone_contribution
-                    dr, dg, db = nee_cone_contribution(
-                        cfg, light_sampler, intersect, u_pick, ul1, ul2,
-                        hx, hy, hz, nx, ny, nz, kd_r, kd_g, kd_b,
-                        tp_r, tp_g, tp_b, mis=mis_here,
-                        brdf_eval=brdf_eval)
-                col_r = jnp.where(diffuse, col_r + dr, col_r)
-                col_g = jnp.where(diffuse, col_g + dg, col_g)
-                col_b = jnp.where(diffuse, col_b + db, col_b)
-                if not use_mis:
-                    emission_ok = jnp.where(diffuse, 0, emission_ok)
-
-            box = jnp.where(diffuse, hx, box)
-            boy = jnp.where(diffuse, hy, boy)
-            boz = jnp.where(diffuse, hz, boz)
-            bdx = jnp.where(diffuse, wdx, bdx)
-            bdy = jnp.where(diffuse, wdy, bdy)
-            bdz = jnp.where(diffuse, wdz, bdz)
-            tp_r = jnp.where(diffuse, tp_r * w_r, tp_r)
-            tp_g = jnp.where(diffuse, tp_g * w_g, tp_g)
-            tp_b = jnp.where(diffuse, tp_b * w_b, tp_b)
-
-            # Russian roulette (glsl:302-309): survive with p = min(ceiling,
-            # luminance(throughput)); survivors get throughput / p,
-            # casualties terminate with dist = -2.
-            rr = sampler.draw1(mask=diffuse)
-            rr_prob = jnp.minimum(f32(cfg.rr_ceiling),
-                                  luminance(tp_r, tp_g, tp_b))
-            survive = diffuse & (rr < rr_prob)
-            rcp_p = f32(1.0) / jnp.maximum(rr_prob, f32(1e-20))
-            tp_r = jnp.where(survive, tp_r * rcp_p, tp_r)
-            tp_g = jnp.where(survive, tp_g * rcp_p, tp_g)
-            tp_b = jnp.where(survive, tp_b * rcp_p, tp_b)
-            dist = jnp.where(diffuse & ~survive, f32(-2.0), dist)
-
-            if stats is not None:
-                # Physical ray-segment accounting for throughput metrics:
-                # survivors cast one more scene ray (the primary is always 1).
-                stats.setdefault("survive_fraction", []).append(
-                    jnp.mean(survive.astype(f32)))
-            # Cast the continuation ray from org + eps*dir (glsl:305).
-            # Lockstep: computed for every lane, merged into survivors.
-            # Dead lanes cast from a far-away origin so block-level culls
-            # (mesh bounds) are not kept alive by results nobody will merge;
-            # 3e30 overflows squared-distance terms, NaN-poisoning those
-            # lanes' tests outright (NaN compares false everywhere).
-            far = f32(3.0e30)
-            cast_ox = jnp.where(survive, box + f32(cfg.ray_epsilon) * bdx, far)
-            cast_oy = jnp.where(survive, boy + f32(cfg.ray_epsilon) * bdy, far)
-            cast_oz = jnp.where(survive, boz + f32(cfg.ray_epsilon) * bdz, far)
-            if b + 1 == cfg.max_bounces and intersect_anyhit is not None:
-                # The LAST segment's nearest hit is only ever compared with
-                # the miss sentinel (the reference's loop exits before the
-                # hit could shade; only `dist == -1` feeds the env lookup,
-                # glsl:312-314) — a boolean any-hit sweep is enough, and it
-                # needs no sqrt and no winner tracking.
-                hit_any = intersect_anyhit(cast_ox, cast_oy, cast_oz,
-                                           bdx, bdy, bdz)
-                dist = jnp.where(survive,
-                                 jnp.where(hit_any, f32(1.0), f32(-1.0)),
-                                 dist)
-                state = (box, boy, boz, bdx, bdy, bdz, cur_t,
-                         nx, ny, nz, index, emis_r2, bound_r2)
-            else:
-                new = intersect(cast_ox, cast_oy, cast_oz, bdx, bdy, bdz)
-                dist = jnp.where(survive, new.t, dist)
-                state = (box, boy, boz, bdx, bdy, bdz,
-                         jnp.where(survive, new.t, cur_t),
-                         jnp.where(survive, new.nx, nx),
-                         jnp.where(survive, new.ny, ny),
-                         jnp.where(survive, new.nz, nz),
-                         jnp.where(survive, new.index, index),
-                         jnp.where(survive, new.emis_r2, emis_r2),
-                         jnp.where(survive, hit_bound_r2(new), bound_r2))
-
-        # Environment for bounce-lane misses (glsl:312-314), evaluated ONCE
-        # on the final directions — a resolved lane's direction/throughput
-        # never change after its miss, exactly like the reference adding env
-        # after its loop. Restricted to lanes that entered as diffuse: the
-        # primary-miss sky was already resolved before the branch.
-        if cfg.env_mode != "none":
-            bdx, bdy, bdz = state[3], state[4], state[5]
-            env_ok = p_diffuse & (dist == f32(-1.0))
-            le = env_term(bdx, bdy, bdz)
-            col_r = jnp.where(env_ok, col_r + tp_r * le, col_r)
-            col_g = jnp.where(env_ok, col_g + tp_g * le, col_g)
-            col_b = jnp.where(env_ok, col_b + tp_b * le, col_b)
-        return col_r, col_g, col_b
+        # prev_pdf: BSDF sampling pdf of the ray that produced the CURRENT
+        # hit (for the MIS emission weight); primaries are deterministic.
+        # emission_ok: under NEE, emission is only collected on camera-
+        # direct hits; every diffuse vertex accounts for lights explicitly
+        # (int32 mask — boolean vectors break Mosaic loop legalization).
+        (_, _, _, bdx, bdy, bdz, tp_r, tp_g, tp_b,
+         col_r, col_g, col_b, prev_pdf, emission_ok, survive,
+         cast_ox, cast_oy, cast_oz) = _scatter_and_roulette(
+            cfg, intersect, sampler, light_sampler, use_nee, use_mis,
+            0, ox, oy, oz, dx, dy, dz, hit.t, hit.nx, hit.ny, hit.nz,
+            hit.index, p_diffuse, ones, ones, ones, col_r, col_g, col_b,
+            ones, jnp.ones(shape, jnp.int32), stats=stats)
+        dist = jnp.where(p_diffuse & ~survive, f32(-2.0), dist)
+        return _finish_path(
+            cfg, intersect, sampler, 1, p_diffuse, survive, dist,
+            cast_ox, cast_oy, cast_oz, bdx, bdy, bdz, tp_r, tp_g, tp_b,
+            col_r, col_g, col_b, prev_pdf, emission_ok,
+            intersect_anyhit=intersect_anyhit, light_sampler=light_sampler,
+            use_nee=use_nee, use_mis=use_mis, stats=stats)
 
     # Exactly ONE branch per sample, and only the three color sums cross
     # it; everything else the bounce loop touches stays local to the
@@ -411,6 +482,120 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
     else:
         col_r, col_g, col_b = run_bounces((col_r, col_g, col_b))
     return col_r, col_g, col_b
+
+
+# ---------------------------------------------------------------------------
+# Wavefront split: the same path integral as trace_path, restructured as
+# pass A (primary + first scatter, dense over pixels) and pass B (bounce
+# continuation over COMPACTED survivor rays). At the reference workload only
+# ~20% of lanes survive the first vertex (mean 1.22 segments/sample), yet
+# lane-lockstep tiles pay full scene sweeps while ANY lane is alive — the
+# split densifies the survivors so bounce sweeps run at ~5x the occupancy.
+# Both passes are built from the exact helpers trace_path uses, so with
+# counter-based RNG the two render paths are bit-identical.
+# ---------------------------------------------------------------------------
+
+# cast-origin sentinel of lanes with no continuation ray (alive test is
+# `cast_ox < WAVEFRONT_FAR_THRESHOLD`, see _scatter_and_roulette far-park).
+WAVEFRONT_FAR_THRESHOLD = 1.0e30
+
+
+def trace_wavefront_primary(cfg, intersect, sampler, ox, oy, oz, dx, dy, dz,
+                            intersect_primary=None, light_sampler=None,
+                            stats=None):
+    """Pass A: primary cast, first-vertex resolve, b=0 scatter + RR.
+
+    Returns (col_r, col_g, col_b, cast_ox, cast_oy, cast_oz, bdx, bdy, bdz,
+    tp_r, tp_g, tp_b, prev_pdf): the partial radiance (primary emissive +
+    primary-miss sky + NEE direct light at the first vertex) plus the
+    continuation-ray state. Lanes with no continuation have cast_ox parked
+    at 3e30 (alive <=> cast_ox < WAVEFRONT_FAR_THRESHOLD); prev_pdf only
+    matters under MIS.
+    """
+    f32 = jnp.float32
+    shape = jnp.shape(dx)
+    use_nee = cfg.nee and light_sampler is not None
+    use_mis = use_nee and cfg.mis
+
+    hit = (intersect_primary or intersect)(ox, oy, oz, dx, dy, dz)
+    ox = jnp.broadcast_to(ox, shape)
+    oy = jnp.broadcast_to(oy, shape)
+    oz = jnp.broadcast_to(oz, shape)
+
+    p_active = hit.t >= 0.0
+    p_emissive = p_active & (hit.index % cfg.emissive_every == 0)
+    p_diffuse = p_active & ~p_emissive
+    base = jnp.where(p_emissive, _emit_term(cfg, hit.emis_r2), f32(0.0))
+    if cfg.env_mode != "none":
+        base = base + jnp.where(hit.t == f32(-1.0),
+                                _env_term(cfg, dx, dy, dz), f32(0.0))
+    ones = jnp.ones(shape, f32)
+    (_, _, _, bdx, bdy, bdz, tp_r, tp_g, tp_b,
+     col_r, col_g, col_b, prev_pdf, _emission_ok, _survive,
+     cast_ox, cast_oy, cast_oz) = _scatter_and_roulette(
+        cfg, intersect, sampler, light_sampler, use_nee, use_mis,
+        0, ox, oy, oz, dx, dy, dz, hit.t, hit.nx, hit.ny, hit.nz,
+        hit.index, p_diffuse, ones, ones, ones, base, base, base,
+        ones, jnp.ones(shape, jnp.int32), stats=stats)
+    return (col_r, col_g, col_b, cast_ox, cast_oy, cast_oz,
+            bdx, bdy, bdz, tp_r, tp_g, tp_b, prev_pdf)
+
+
+def trace_wavefront_continue(cfg, intersect, sampler,
+                             cast_ox, cast_oy, cast_oz, bdx, bdy, bdz,
+                             tp_r, tp_g, tp_b, prev_pdf=None,
+                             intersect_anyhit=None, light_sampler=None,
+                             stats=None):
+    """Pass B: finish compacted survivor paths. Every lane is assumed alive
+    (compaction packs survivors into a dense prefix; padding lanes compute
+    garbage that the caller masks out at scatter-back). Returns ONLY the
+    bounce contribution — the caller adds it to pass A's partial radiance.
+    """
+    f32 = jnp.float32
+    shape = jnp.shape(bdx)
+    use_nee = cfg.nee and light_sampler is not None
+    use_mis = use_nee and cfg.mis
+    zeros = jnp.zeros(shape, f32)
+    everyone = jnp.ones(shape, bool)
+    if prev_pdf is None:
+        prev_pdf = jnp.ones(shape, f32)
+    # Post-first-vertex emission gate: with NEE (and no MIS) every pass-B
+    # lane left a diffuse vertex whose lights were sampled explicitly.
+    emission_ok = jnp.zeros(shape, jnp.int32) if (use_nee and not use_mis) \
+        else jnp.ones(shape, jnp.int32)
+    return _finish_path(
+        cfg, intersect, sampler, 1, everyone, everyone, zeros,
+        cast_ox, cast_oy, cast_oz, bdx, bdy, bdz, tp_r, tp_g, tp_b,
+        zeros, zeros, zeros, prev_pdf, emission_ok,
+        intersect_anyhit=intersect_anyhit, light_sampler=light_sampler,
+        use_nee=use_nee, use_mis=use_mis, stats=stats)
+
+
+def wavefront_draw_position(cfg, intersect, light_sampler=None):
+    """(next_pair, has_spare) of the threefry stream after pass A — the
+    static resume point for pass B (ThreefrySampler.resumed). Computed by
+    abstractly tracing pass A on a 1-lane dummy: the draw pattern is
+    trace-time Python control flow, so eval_shape advances the sampler's
+    counters without running any math."""
+    from l2n_tpu.rng.sampler import ThreefrySampler, max_pairs_per_sample
+    pos = {}
+
+    def run():
+        one = jnp.zeros((1, 1), jnp.float32)
+        sampler = ThreefrySampler(0, 0, jnp.zeros((1, 1), jnp.uint32),
+                                  jnp.zeros((1, 1), jnp.uint32),
+                                  max_pairs_per_sample(cfg.max_bounces,
+                                                       cfg.nee))
+        sampler.draw2()  # the pixel jitter (glsl:371), drawn by the caller
+        out = trace_wavefront_primary(
+            cfg, intersect, sampler, one, one, one,
+            one, one, jnp.ones((1, 1), jnp.float32),
+            light_sampler=light_sampler)
+        pos["at"] = sampler.draw_position
+        return out
+
+    jax.eval_shape(run)
+    return pos["at"]
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,30 @@ class ThreefrySampler:
     def final_state(self):
         return None
 
+    @classmethod
+    def resumed(cls, seed, stream, pixel_index, sample_index, max_pairs: int,
+                next_pair: int, has_spare: bool):
+        """A sampler mid-sample: the next fresh block is pair `next_pair`,
+        and if `has_spare` the unconsumed sibling of pair `next_pair - 1` is
+        preloaded (regenerated — counter-based draws are addressed, so
+        re-evaluating a block is exact). This is how the wavefront render
+        step's pass B continues the per-sample stream exactly where pass A
+        stopped, keeping bit-parity with the single-pass tracer."""
+        s = cls(seed, stream, pixel_index, sample_index, max_pairs)
+        if has_spare:
+            s._pair = next_pair - 1
+            _, spare = s.draw2()
+            s._spare = spare
+        else:
+            s._pair = next_pair
+        return s
+
+    @property
+    def draw_position(self) -> tuple[int, bool]:
+        """(next fresh pair index, spare sibling pending) — static Python
+        values (the draw pattern is trace-time control flow)."""
+        return self._pair, self._spare is not None
+
 
 def _masked(new, old, mask):
     if mask is None:
