@@ -67,17 +67,22 @@ def main() -> None:
         cfg = RenderConfig(width=1024, height=1024, tile_height=32,
                            tile_width=128, tiles_per_step=256,
                            spp_per_step=4, rng="tpu_hw").validate()
-        backend, frames = "pallas", 20
+        # steps_per_call fuses scheduler steps into one dispatch (identical
+        # images — see tests/test_kernels.py::TestStepsPerCall); dispatch
+        # through the tunnel-attached chip costs ~1.3 ms/step unamortized.
+        backend, calls, spc = "pallas", 4, 5
     else:  # CPU fallback so the harness always emits a result
         cfg = RenderConfig(width=256, height=256, tile_height=32,
                            tile_width=128, tiles_per_step=16).validate()
-        backend, frames = "xla", 3
+        backend, calls, spc = "xla", 3, 1
+    frames = calls * spc  # scheduler steps per timed repetition
     log(f"backend={backend} device={jax.devices()[0]} "
         f"image={cfg.width}x{cfg.height} tiles/step={cfg.effective_tiles_per_step}")
 
     scene = compute_spheres(cfg.sphere_count, cfg.world_size, cfg.scene_seed)
     camera = Camera.from_config(cfg)
-    prog = SphereProgram(cfg, scene=scene, backend=backend)
+    prog = SphereProgram(cfg, scene=scene, backend=backend,
+                         steps_per_call=spc)
     state = init_frame_state(cfg)
 
     # Warm up / compile.
@@ -89,7 +94,7 @@ def main() -> None:
     dt = float("inf")
     for _ in range(4 if on_tpu else 1):
         t0 = time.perf_counter()
-        for _ in range(frames):
+        for _ in range(calls):
             state = prog.step(state, camera.packed())
         state.output.block_until_ready()
         dt = min(dt, (time.perf_counter() - t0) / frames)
@@ -107,14 +112,14 @@ def main() -> None:
     threefry_ms = None
     if on_tpu:
         tf_prog = SphereProgram(cfg.replace(rng="threefry"), scene=scene,
-                                backend=backend)
+                                backend=backend, steps_per_call=spc)
         tf_state = init_frame_state(cfg)
         tf_state = tf_prog.step(tf_state, camera.packed())
         tf_state.output.block_until_ready()
         dt_tf = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            for _ in range(frames):
+            for _ in range(calls):
                 tf_state = tf_prog.step(tf_state, camera.packed())
             tf_state.output.block_until_ready()
             dt_tf = min(dt_tf, (time.perf_counter() - t0) / frames)

@@ -119,6 +119,14 @@ class RenderConfig:
     # analog of the reference's SIMT while-exit, glsl:280). Automatically
     # disabled for stateful RNG parity modes (stream sync).
     skip_empty_tiles: bool = True
+    # Wavefront split (pallas backend): trace primaries densely, compact the
+    # Russian-roulette survivors (~20% at the reference workload) and run the
+    # bounce sweeps on dense lane blocks only — the TPU answer to the SIMT
+    # hardware retiring dead threads mid-`while` (glsl:280). Bit-identical
+    # radiance under threefry (the counter-based stream resumes across the
+    # compaction boundary); requires a stateless sampler. Ignored by the xla
+    # oracle backend and by non-pathtracing AOVs (no bounce machinery).
+    wavefront: bool = False
 
     # Debug / AOV ------------------------------------------------------------
     # "pathtracing" | "normal" | "ambient_occlusion" | "hit" | "tex_coords"
@@ -189,6 +197,11 @@ class RenderConfig:
         if self.nee and self.rng not in ("threefry", "tpu_hw"):
             raise ValueError(
                 "nee requires a stateless sampler (threefry or tpu_hw)")
+        if self.wavefront and self.rng not in ("threefry", "tpu_hw"):
+            raise ValueError(
+                "wavefront requires a stateless sampler (threefry or "
+                "tpu_hw): stateful per-pixel streams cannot resume across "
+                "the compaction boundary")
         if self.mis and not self.nee:
             raise ValueError("mis requires nee")
         if self.material_mode not in ("procedural", "microfacet"):

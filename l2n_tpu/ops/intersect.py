@@ -30,7 +30,7 @@ MOLLER_TRUMBORE_EPS = 1e-6  # EPSILON, triangle_pathtracing.cs.glsl:10
 
 def intersect_sphere_scene(
     ox, oy, oz, dx, dy, dz, sphere_count, fetch: Fetch,
-    unroll: int = 1, index_map=None,
+    unroll: int = 1, index_map=None, assume_outside: bool = False,
 ):
     """Nearest hit against `sphere_count` spheres.
 
@@ -42,6 +42,13 @@ def intersect_sphere_scene(
     a candidate wins when t >= 0 and t < best (glsl:190,205) — internally
     "no hit" is +BIG so the winner test is one compare; the boundary
     converts back to the reference's -1 sentinel.
+
+    `assume_outside=True` asserts every ray origin lies OUTSIDE every
+    sphere (c > 0). Then both roots share c's sign, so t1 < 0 implies
+    t2 < 0 and the reference's t2 fallback can never win: skipping it is an
+    EXACT equivalence, not an approximation. Used for bounce/shadow rays in
+    disjoint-sphere scenes (origins sit on a sphere's surface plus an
+    epsilon that no other sphere reaches — see spheres_disjoint).
 
     Returns (t, px, py, pz, nx, ny, nz, index, sqr_radius) — index is int32,
     -1 on miss; position/normal/sqr_radius are for the winning sphere (the
@@ -69,9 +76,12 @@ def intersect_sphere_scene(
         sq = jnp.sqrt(disc)
         nhb = -hb
         t1 = nhb - sq
-        t2 = nhb + sq
-        t = jnp.where(t1 >= 0.0, t1, t2)
-        t = jnp.where(t >= 0.0, t, big)
+        if assume_outside:
+            t = jnp.where(t1 >= 0.0, t1, big)
+        else:
+            t2 = nhb + sq
+            t = jnp.where(t1 >= 0.0, t1, t2)
+            t = jnp.where(t >= 0.0, t, big)
         better = t < best_t
         best_t = jnp.where(better, t, best_t)
         # index_map translates sweep position -> true scene index when the
@@ -101,7 +111,7 @@ def intersect_sphere_scene(
 
 
 def sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, sphere_count, fetch: Fetch,
-                        unroll: int = 1):
+                        unroll: int = 1, assume_outside: bool = False):
     """Boolean any-hit sweep: does the ray hit ANY sphere with t >= 0?
 
     Exactly `intersect_sphere_scene(...)[0] >= 0` but without sqrt, t
@@ -111,6 +121,8 @@ def sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, sphere_count, fetch: Fetch,
     ahead with a real root (hb < 0 and disc >= 0). Used for the LAST path
     segment, whose nearest-hit result the reference only ever tests against
     the miss sentinel for the environment lookup (glsl:312-314).
+    `assume_outside` drops the inside term exactly (see
+    intersect_sphere_scene).
     """
     shape = jnp.broadcast_shapes(jnp.shape(ox), jnp.shape(dx))
 
@@ -119,7 +131,9 @@ def sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, sphere_count, fetch: Fetch,
         rox, roy, roz = ox - cx, oy - cy, oz - cz
         hb = rox * dx + roy * dy + roz * dz
         c = rox * rox + roy * roy + roz * roz - r2
-        hit = (c < 0.0) | ((hb < 0.0) & (hb * hb >= c))
+        hit = (hb < 0.0) & (hb * hb >= c)
+        if not assume_outside:
+            hit = (c < 0.0) | hit
         # int32 accumulator: boolean vectors break Mosaic loop carries.
         return any_hit | hit.astype(jnp.int32)
 

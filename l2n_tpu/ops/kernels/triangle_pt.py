@@ -708,7 +708,7 @@ def build_triangle_call(cfg, scene: TriangleScene):
 
 @register_kernel("triangle")
 def build_triangle_step(cfg, scene: TriangleScene, tile_array,
-                        donate: bool = True):
+                        donate: bool = True, steps_per_call: int = 1):
     """Returns step(FrameState, packed_camera) -> FrameState, ALREADY
     jitted, with per-camera precomputations (cone-cull table, front-to-back
     order) cached host-side like the sphere kernel's."""
@@ -731,6 +731,14 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
             iteration=state.iteration + 1,
             rng_state=outs[2] if aux.stateful else None,
         )
+
+    if steps_per_call > 1:
+        single = kernel_step
+
+        def kernel_step(state, camera, table, order):
+            return jax.lax.fori_loop(
+                0, steps_per_call,
+                lambda _, st: single(st, camera, table, order), state)
 
     jit_step = jax.jit(kernel_step, donate_argnums=(0,) if donate else ())
     cache: dict[bytes, tuple] = {}

@@ -433,18 +433,29 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
     oy = jnp.broadcast_to(oy, shape)
     oz = jnp.broadcast_to(oz, shape)
 
-    # Resolve the bounce-free contributions up front with throughput = 1:
-    # direct emissive hits (glsl:285-290) and the primary-miss environment.
+    # Resolve the direct emissive hits up front with throughput = 1
+    # (glsl:285-290). The ENVIRONMENT — primary-miss sky and bounce-miss
+    # alike — is evaluated at a single site per sample inside _finish_path:
+    # a primary-miss lane flows through the bounce region untouched (its
+    # direction is never re-scattered, its throughput stays 1, its dist
+    # stays -1), so one evaluation on the final directions covers both
+    # cases bit-exactly while halving the dominant Mandelbrot cost
+    # (measured ~2.6 ms of a 7.1 ms step when evaluated at two sites).
     p_active = hit.t >= 0.0
     p_emissive = p_active & (hit.index % cfg.emissive_every == 0)
     p_diffuse = p_active & ~p_emissive
+    p_miss = hit.t == f32(-1.0)
     base = jnp.where(p_emissive, _emit_term(cfg, hit.emis_r2), f32(0.0))
-    if cfg.env_mode != "none":
-        # Unconditional: the sky is most of the frame, and a branch costs
-        # about as much as the whole Mandelbrot evaluation.
-        base = base + jnp.where(hit.t == f32(-1.0),
-                                _env_term(cfg, dx, dy, dz), f32(0.0))
     col_r = col_g = col_b = base
+
+    def miss_env(cols):
+        # The skipped-bounce branch (no diffuse lane in the block) still
+        # owes the sky its radiance (glsl:312-314).
+        col_r, col_g, col_b = cols
+        if cfg.env_mode == "none":
+            return col_r, col_g, col_b
+        le = jnp.where(p_miss, _env_term(cfg, dx, dy, dz), f32(0.0))
+        return col_r + le, col_g + le, col_b + le
 
     def run_bounces(cols):
         col_r, col_g, col_b = cols
@@ -465,8 +476,11 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
             hit.index, p_diffuse, ones, ones, ones, col_r, col_g, col_b,
             ones, jnp.ones(shape, jnp.int32), stats=stats)
         dist = jnp.where(p_diffuse & ~survive, f32(-2.0), dist)
+        # entered = p_diffuse | p_miss: the env site inside _finish_path
+        # covers primary misses too (their dist stays -1, throughput 1,
+        # direction d — see the note above).
         return _finish_path(
-            cfg, intersect, sampler, 1, p_diffuse, survive, dist,
+            cfg, intersect, sampler, 1, p_diffuse | p_miss, survive, dist,
             cast_ox, cast_oy, cast_oz, bdx, bdy, bdz, tp_r, tp_g, tp_b,
             col_r, col_g, col_b, prev_pdf, emission_ok,
             intersect_anyhit=intersect_anyhit, light_sampler=light_sampler,
@@ -477,7 +491,7 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
     # branch, so it costs ~nothing when skipped and little when taken.
     if use_cond:
         col_r, col_g, col_b = jax.lax.cond(
-            jnp.any(p_diffuse), run_bounces, lambda c: c,
+            jnp.any(p_diffuse), run_bounces, miss_env,
             (col_r, col_g, col_b))
     else:
         col_r, col_g, col_b = run_bounces((col_r, col_g, col_b))

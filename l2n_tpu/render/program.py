@@ -25,7 +25,8 @@ class PathtracingProgram:
     name = "basePT"
 
     def __init__(self, cfg: RenderConfig, scene, backend: str = "auto",
-                 materials=None, point_lights=None, directional_lights=None):
+                 materials=None, point_lights=None, directional_lights=None,
+                 steps_per_call: int = 1):
         if backend == "auto":
             import jax
             from l2n_tpu.ops.kernels import KERNELS
@@ -42,7 +43,14 @@ class PathtracingProgram:
         self.directional_lights = (directional_lights
                                    if directional_lights is not None
                                    else default_dl)
-        self.step = build_render_step(cfg, scene, backend=backend)
+        # steps_per_call > 1 fuses N scheduler steps into one jitted call
+        # (lax.fori_loop threading the frame state): the image after a call
+        # is identical to N single steps, but host->device dispatch — ~1.3
+        # ms/step through a tunnel-attached chip, measured via jax.profiler
+        # — is paid once per call. Throughput mode for headless rendering.
+        self.steps_per_call = steps_per_call
+        self.step = build_render_step(cfg, scene, backend=backend,
+                                      steps_per_call=steps_per_call)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<{type(self).__name__} backend={self.backend} cfg={self.cfg}>"

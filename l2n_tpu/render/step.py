@@ -176,12 +176,13 @@ def make_intersector(cfg: RenderConfig, scene):
 
 
 def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
-                      donate: bool = True):
+                      donate: bool = True, steps_per_call: int = 1):
     """Compile a render step for (config, scene).
 
     scene: SphereScene or TriangleScene per cfg.scene_kind.
     Returns step(state, packed_camera) -> state (jitted; state donated so
-    accumulation never leaves HBM).
+    accumulation never leaves HBM). `steps_per_call` fuses N scheduler steps
+    into each call via lax.fori_loop — identical results, one dispatch.
     """
     cfg.validate()
     tile_array = jnp.asarray(tile_grid(cfg))
@@ -190,10 +191,15 @@ def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
     if backend == "xla":
         fn = partial(_xla_step, cfg, intersect, miss_color, tile_array,
                      light_sampler=light_sampler, intersect_anyhit=anyhit)
+        if steps_per_call > 1:
+            inner = fn
+            fn = lambda state, camera: jax.lax.fori_loop(
+                0, steps_per_call, lambda _, st: inner(st, camera), state)
         return jax.jit(fn, donate_argnums=(0,) if donate else ())
     if backend == "pallas":
         # Pallas builders return already-jitted steps (they keep per-camera
         # precomputations outside the jit and cache them host-side).
         from l2n_tpu.ops.kernels import build_pallas_step
-        return build_pallas_step(cfg, scene, tile_array, donate=donate)
+        return build_pallas_step(cfg, scene, tile_array, donate=donate,
+                                 steps_per_call=steps_per_call)
     raise ValueError(f"unknown backend {backend!r}")

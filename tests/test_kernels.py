@@ -182,6 +182,68 @@ class TestTriangleKernel:
         assert (live.sum(1) == 64).all()
 
 
+class TestWavefront:
+    """The wavefront split (pass A / compact / pass B / pass C) must produce
+    the same image as the fused single-pass kernel: both compose the same
+    _scatter_and_roulette/_finish_path helpers and the threefry stream
+    resumes at pass A's exact static draw position."""
+
+    def test_matches_single_pass(self):
+        # skip_empty's lax.cond only guarantees statistical parity (see
+        # test_skip_empty_matches_no_skip) — disable it on both sides so
+        # the wavefront comparison is over identical math.
+        cfg = CFG.replace(skip_empty_tiles=False)
+        a = run_steps("pallas", cfg)
+        b = run_steps("pallas", cfg.replace(wavefront=True))
+        np.testing.assert_array_equal(np.asarray(a.accum[3]),
+                                      np.asarray(b.accum[3]))
+        # Bit-exact on the plain path: identical draws, identical fp ops.
+        np.testing.assert_array_equal(np.asarray(a.accum),
+                                      np.asarray(b.accum))
+
+    def test_nee_mis_close(self):
+        cfg = CFG.replace(nee=True, mis=True)
+        a = run_steps("pallas", cfg)
+        b = run_steps("pallas", cfg.replace(wavefront=True))
+        # Pass B accumulates its NEE/MIS terms into a zero base and the
+        # caller adds that to pass A's partial radiance — one reassociation
+        # of the color sum, so parity is 1-ULP-tight rather than bitwise.
+        np.testing.assert_allclose(np.asarray(a.accum), np.asarray(b.accum),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_matches_oracle(self):
+        so = run_steps("xla", CFG)
+        sp = run_steps("pallas", CFG.replace(wavefront=True))
+        np.testing.assert_array_equal(np.asarray(so.accum[3]),
+                                      np.asarray(sp.accum[3]))
+        a, b = np.asarray(so.accum), np.asarray(sp.accum)
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-3
+        diff = np.abs(np.asarray(so.output) - np.asarray(sp.output))
+        assert (diff > 1e-3).mean() < 1e-3
+
+    def test_requires_stateless_sampler(self):
+        with pytest.raises(ValueError, match="stateless"):
+            CFG.replace(wavefront=True, rng="tinymt").validate()
+
+
+class TestStepsPerCall:
+    """steps_per_call=N fuses N scheduler steps into one dispatch via
+    lax.fori_loop — the image must equal N single-step calls exactly."""
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_fused_equals_sequential(self, backend):
+        single = run_steps(backend, CFG, n=4)
+        prog = SphereProgram(CFG, backend=backend, steps_per_call=2)
+        cam = Camera.from_config(prog.cfg).packed()
+        st = init_frame_state(prog.cfg)
+        for _ in range(2):
+            st = prog.step(st, cam)
+        assert int(st.iteration) == 4
+        assert int(st.tile_offset) == int(single.tile_offset)
+        np.testing.assert_array_equal(np.asarray(single.accum),
+                                      np.asarray(st.accum))
+
+
 class TestUVDemo:
     def test_pattern(self):
         img = np.asarray(uv_demo(32, 128, 0.0))
