@@ -89,15 +89,26 @@ def main() -> None:
     state = prog.step(state, camera.packed())
     state.output.block_until_ready()
 
-    # Best-of-N repetitions: the tunnel-attached chip shows run-to-run
-    # variance; the minimum is the honest kernel time.
-    dt = float("inf")
-    for _ in range(4 if on_tpu else 1):
+    def run_seq(n_calls):
+        nonlocal state
         t0 = time.perf_counter()
-        for _ in range(calls):
+        for _ in range(n_calls):
             state = prog.step(state, camera.packed())
         state.output.block_until_ready()
-        dt = min(dt, (time.perf_counter() - t0) / frames)
+        return time.perf_counter() - t0
+
+    # Steady-state (marginal) step time by difference timing: the tunnel-
+    # attached chip pays a ~26 ms first-dispatch RTT per sequence, after
+    # which dispatches pipeline and the chip runs back-to-back; timing one
+    # short and one long sequence and differencing cancels the constant.
+    # This is the production regime — a progressive render is a long
+    # sequence of identical steps (src/main.cpp:951).
+    dt = float("inf")
+    long_calls = calls * 10
+    for _ in range(3 if on_tpu else 1):
+        t_short = run_seq(calls)
+        t_long = run_seq(long_calls)
+        dt = min(dt, (t_long - t_short) / ((long_calls - calls) * spc))
 
     pixels_per_step = (cfg.effective_tiles_per_step * cfg.tile_height
                        * cfg.tile_width * cfg.spp_per_step)
@@ -116,13 +127,19 @@ def main() -> None:
         tf_state = init_frame_state(cfg)
         tf_state = tf_prog.step(tf_state, camera.packed())
         tf_state.output.block_until_ready()
-        dt_tf = float("inf")
-        for _ in range(2):
+
+        def tf_seq(n_calls):
+            nonlocal tf_state
             t0 = time.perf_counter()
-            for _ in range(calls):
+            for _ in range(n_calls):
                 tf_state = tf_prog.step(tf_state, camera.packed())
             tf_state.output.block_until_ready()
-            dt_tf = min(dt_tf, (time.perf_counter() - t0) / frames)
+            return time.perf_counter() - t0
+
+        dt_tf = float("inf")
+        for _ in range(2):
+            dt_tf = min(dt_tf, (tf_seq(calls * 10) - tf_seq(calls))
+                        / ((calls * 9) * spc))
         threefry_ms = dt_tf * 1e3
         log(f"threefry sampler: {threefry_ms:.2f} ms/step")
 

@@ -127,6 +127,18 @@ class RenderConfig:
     # compaction boundary); requires a stateless sampler. Ignored by the xla
     # oracle backend and by non-pathtracing AOVs (no bounce machinery).
     wavefront: bool = False
+    # Samples per stacked lane block inside the fused kernels: `spp_stack`
+    # samples are traced as one (spp_stack*tile_height, tile_width) block
+    # instead of sequential sample-loop iterations. Identical per-lane math
+    # (bit-exact under threefry, tested); purely a VPU-pipeline knob.
+    # MEASURED on v5e at the reference workload: a loss at every setting
+    # (group=2: 6.1 ms/step, group=4: 8.4, vs 5.4 unstacked) — the
+    # fully-unrolled sphere sweep's 6 live carry planes spill the vector
+    # register file at (64+,128) blocks, which costs more than the extra
+    # ILP gains on the serial Mandelbrot chain. Kept as a knob for
+    # env-dominated configs without wide sweeps. Clamped down to a divisor
+    # of spp_per_step; stateful RNG modes ignore it (streams must chain).
+    spp_stack: int = 1
 
     # Debug / AOV ------------------------------------------------------------
     # "pathtracing" | "normal" | "ambient_occlusion" | "hit" | "tex_coords"
@@ -209,6 +221,8 @@ class RenderConfig:
         if self.aov not in ("pathtracing", "normal", "ambient_occlusion",
                             "hit", "tex_coords", "param_uv"):
             raise ValueError(f"unknown aov {self.aov!r}")
+        if self.spp_stack < 1:
+            raise ValueError("spp_stack must be >= 1")
         return self
 
     # JSON round-trip ----------------------------------------------------------

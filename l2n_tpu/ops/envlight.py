@@ -27,6 +27,38 @@ def mandelbrot_le(dx, dy, dz):
     `break` replaced by lane freezing: once |z|^2 > 4 a lane stops updating
     and remembers its escape iteration. Returns i/64 for diverged lanes, 0
     otherwise (glsl:265-269); the caller broadcasts to rgb.
+
+    EXACT direction-space cull: |p| > 2 implies z1 = p already escaped, so
+    the escape count is 0 and the radiance is exactly 0. |p| <= 2 requires
+    |u| <= 1/4 and |v| <= 1/2, i.e. |phi| <= pi/4 (dx >= |dy|) and theta in
+    [pi/4, 3*pi/4] (dz^2 <= dx^2 + dy^2) — a 5-op test with no atan2. A
+    lane block with no in-box direction (most sky tiles; the Mandelbrot
+    patch subtends 1/16 of the sphere) skips the transcendentals and the
+    whole escape loop through one lax.cond.
+    """
+    f32 = jnp.float32
+    shape = jnp.broadcast_shapes(jnp.shape(dx), jnp.shape(dy),
+                                 jnp.shape(dz))
+    in_box = (dx >= jnp.abs(dy)) & (dz * dz <= dx * dx + dy * dy)
+
+    def evaluate(_):
+        return _mandelbrot_eval(dx, dy, dz, shape)
+
+    le = jax.lax.cond(jnp.any(in_box), evaluate,
+                      lambda _: jnp.zeros(shape, f32), None)
+    # The merge is only live for the skipped branch: when `evaluate` ran,
+    # out-of-box lanes already produced 0 (escape count 0).
+    return jnp.where(in_box, le, f32(0.0))
+
+
+def mandelbrot_begin(dx, dy, dz, shape):
+    """Direction -> plane point + escape-loop state (see mandelbrot_le).
+
+    The begin/step/finish split exists so callers can INTERLEAVE the
+    64-iteration escape chain with unrelated independent work (the sphere
+    kernel threads it through the last-segment any-hit sweep): each
+    iteration is a short serial dependency chain, and on its own the loop
+    leaves the VPU mostly stalled at one tile's worth of vregs.
     """
     f32 = jnp.float32
     sin_theta = jnp.sqrt(dx * dx + dy * dy)
@@ -34,12 +66,9 @@ def mandelbrot_le(dx, dy, dz):
     phi = atan2(dy, dx)
     u = phi * f32(1.0 / PI)
     v = f32(-1.0) + f32(2.0 / PI) * theta
-    px = f32(8.0) * u
-    py = f32(4.0) * v
-
-    shape = jnp.shape(px)
-    zx = jnp.zeros(shape, f32)
-    zy = jnp.zeros(shape, f32)
+    px = jnp.broadcast_to(f32(8.0) * u, shape)
+    py = jnp.broadcast_to(f32(4.0) * v, shape)
+    zero = jnp.zeros(shape, f32)
     # Branch-free escape counting: `still` is 1.0 until the lane's FIRST
     # |z|^2 > 4 (matching the reference's `break` even if |z| later
     # re-enters the disk), `cnt` accumulates iterations spent bounded, which
@@ -48,36 +77,51 @@ def mandelbrot_le(dx, dy, dz):
     # so `ok` stays 0 and `still` is already latched at 0). This costs ~9
     # vector ops per iteration with NO select chains and no per-iteration
     # masks — measured faster than freezing lanes with `where`.
-    still = jnp.ones(shape, f32)
-    cnt = jnp.zeros(shape, f32)
-    zx2 = jnp.zeros(shape, f32)
-    zy2 = jnp.zeros(shape, f32)
+    return (zero, zero, zero, zero, jnp.ones(shape, f32), zero, px, py)
 
-    def step_i(_, carry):
-        zx, zy, zx2, zy2, still, cnt = carry
-        zy = f32(2.0) * zx * zy + py
-        zx = zx2 - zy2 + px
-        zx2 = zx * zx
-        zy2 = zy * zy
-        ok = (zx2 + zy2 <= f32(4.0)).astype(f32)
-        still = still * ok
-        cnt = cnt + still
-        return zx, zy, zx2, zy2, still, cnt
 
-    # Two-phase early exit: |p| > 2 over most of the sky, so typical lane
-    # blocks fully escape within the first few iterations; one branch skips
-    # the long tail when no lane is still bounded.
-    prefix = min(8, MANDELBROT_ITERS)
-    carry = (zx, zy, zx2, zy2, still, cnt)
-    carry = jax.lax.fori_loop(0, prefix, step_i, carry)
+def mandelbrot_step(carry):
+    """One z <- z^2 + p escape iteration (glsl:252-261)."""
+    f32 = jnp.float32
+    zx, zy, zx2, zy2, still, cnt, px, py = carry
+    zy = f32(2.0) * zx * zy + py
+    zx = zx2 - zy2 + px
+    zx2 = zx * zx
+    zy2 = zy * zy
+    ok = (zx2 + zy2 <= f32(4.0)).astype(f32)
+    still = still * ok
+    cnt = cnt + still
+    return zx, zy, zx2, zy2, still, cnt, px, py
 
-    def tail(carry):
-        return jax.lax.fori_loop(prefix, MANDELBROT_ITERS, step_i, carry)
 
-    carry = jax.lax.cond(jnp.any(carry[4] > 0.0), tail, lambda c: c, carry)
+def mandelbrot_finish(carry):
+    """Escape count -> radiance: i/64 for diverged lanes, 0 in-set
+    (glsl:265-269)."""
+    f32 = jnp.float32
     cnt = carry[5]
     return jnp.where(cnt < f32(MANDELBROT_ITERS),
                      cnt * f32(1.0 / MANDELBROT_ITERS), f32(0.0))
+
+
+def _mandelbrot_eval(dx, dy, dz, shape):
+    # Two-phase early exit: |p| > 2 over most of the sky, so typical lane
+    # blocks fully escape within the first few iterations; one branch skips
+    # the long tail when no lane is still bounded. Both phases are FULLY
+    # UNROLLED (static trip counts): the 9-op iteration body is a serial
+    # dependency chain on small arrays, and a rolled Mosaic loop adds
+    # branch/counter overhead per iteration on top of it.
+    prefix = min(8, MANDELBROT_ITERS)
+    carry = mandelbrot_begin(dx, dy, dz, shape)
+    for _ in range(prefix):
+        carry = mandelbrot_step(carry)
+
+    def tail(carry):
+        for _ in range(prefix, MANDELBROT_ITERS):
+            carry = mandelbrot_step(carry)
+        return carry
+
+    carry = jax.lax.cond(jnp.any(carry[4] > 0.0), tail, lambda c: c, carry)
+    return mandelbrot_finish(carry)
 
 
 def sun_le(dx, dy, dz):

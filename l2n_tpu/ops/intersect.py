@@ -111,7 +111,8 @@ def intersect_sphere_scene(
 
 
 def sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, sphere_count, fetch: Fetch,
-                        unroll: int = 1, assume_outside: bool = False):
+                        unroll: int = 1, assume_outside: bool = False,
+                        interleave=None):
     """Boolean any-hit sweep: does the ray hit ANY sphere with t >= 0?
 
     Exactly `intersect_sphere_scene(...)[0] >= 0` but without sqrt, t
@@ -123,6 +124,14 @@ def sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, sphere_count, fetch: Fetch,
     the miss sentinel for the environment lookup (glsl:312-314).
     `assume_outside` drops the inside term exactly (see
     intersect_sphere_scene).
+
+    `interleave=(carry, step_fn, n_steps)` threads an UNRELATED serial
+    chain through the sweep: the chain's iterations are emitted evenly
+    between the (mutually independent) candidates so its op latency hides
+    in the sweep's spare issue slots — the sphere kernel threads the
+    Mandelbrot escape loop through here. Values are identical (only the
+    emission order changes), so results are bit-exact either way. Returns
+    (any_hit, carry) and requires the fully-unrolled sweep.
     """
     shape = jnp.broadcast_shapes(jnp.shape(ox), jnp.shape(dx))
 
@@ -136,6 +145,23 @@ def sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, sphere_count, fetch: Fetch,
             hit = (c < 0.0) | hit
         # int32 accumulator: boolean vectors break Mosaic loop carries.
         return any_hit | hit.astype(jnp.int32)
+
+    if interleave is not None:
+        carry, step_fn, n_steps = interleave
+        if unroll != sphere_count:
+            raise ValueError("interleave needs the fully-unrolled sweep")
+        any_hit = jnp.zeros(shape, jnp.int32)
+        emitted = 0
+        for s in range(sphere_count):
+            any_hit = body(jnp.int32(s), any_hit)
+            target = ((s + 1) * n_steps) // sphere_count
+            while emitted < target:
+                carry = step_fn(carry)
+                emitted += 1
+        while emitted < n_steps:
+            carry = step_fn(carry)
+            emitted += 1
+        return any_hit != 0, carry
 
     any_hit = jax.lax.fori_loop(0, sphere_count, body,
                                 jnp.zeros(shape, jnp.int32), unroll=unroll)

@@ -68,7 +68,7 @@ def seed_tpu_hw(cfg, sample_index, stream):
 
 
 def make_kernel_sampler(cfg, pixel_index, sample_index, rng_in_ref,
-                        rng_out_ref, stream=0):
+                        rng_out_ref, stream=0, shape=None):
     """Build the configured sampler inside a kernel body.
 
     For stateful modes the per-pixel state planes ride in/out as aliased
@@ -77,7 +77,11 @@ def make_kernel_sampler(cfg, pixel_index, sample_index, rng_in_ref,
 
     `sample_index` may be a scalar or a lane array for the counter-based
     modes; "tpu_hw" requires a scalar (it feeds the seed register).
+    `shape` is the lane-block shape for shape-carrying samplers (defaults
+    to one tile; the stacked-sample kernel passes (spp*th, tw)).
     """
+    if shape is None:
+        shape = (cfg.tile_height, cfg.tile_width)
     if cfg.rng == "threefry":
         sampler = ThreefrySampler(cfg.seed, stream, pixel_index, sample_index,
                                   max_pairs_per_sample(cfg.max_bounces,
@@ -89,7 +93,7 @@ def make_kernel_sampler(cfg, pixel_index, sample_index, rng_in_ref,
                 "rng='tpu_hw' needs a real TPU (the Pallas interpreter has "
                 "no pltpu.prng_seed); use rng='threefry' off-TPU")
         seed_tpu_hw(cfg, sample_index, stream)
-        return TpuHwSampler((cfg.tile_height, cfg.tile_width)), lambda: None
+        return TpuHwSampler(shape), lambda: None
     if cfg.rng == "tinymt":
         words = tuple(rng_in_ref[i] for i in range(7))
         sampler = TinyMTSampler(words[:4], words[4:7])

@@ -240,6 +240,31 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
         return sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, n_spheres, fetch,
                                    unroll=sphere_unroll)
 
+    intersect_anyhit_env = None
+    if cfg.env_mode == "mandelbrot" and sphere_unroll == n_spheres:
+        from l2n_tpu.ops.envlight import (
+            MANDELBROT_ITERS,
+            mandelbrot_begin,
+            mandelbrot_finish,
+            mandelbrot_step,
+        )
+
+        def intersect_anyhit_env(ox, oy, oz, dx, dy, dz):
+            # Final segment: fuse the env evaluation (same directions) into
+            # the any-hit sweep — the 64-iteration escape chain is latency-
+            # bound on its own (~4 live vregs), so its steps are emitted
+            # between the sweep's independent candidates where the VPU has
+            # spare issue slots. Bit-exact: same ops, same inputs, only the
+            # emission order differs; the box/tail early-exits are dropped
+            # because extra latched iterations cannot change the count.
+            shape = jnp.broadcast_shapes(jnp.shape(ox), jnp.shape(dx))
+            carry = mandelbrot_begin(dx, dy, dz, shape)
+            hit, carry = sphere_scene_anyhit(
+                ox, oy, oz, dx, dy, dz, n_spheres, fetch,
+                unroll=sphere_unroll,
+                interleave=(carry, mandelbrot_step, MANDELBROT_ITERS))
+            return hit, mandelbrot_finish(carry)
+
     if cone_cull:
         # Table rows are in tile-id order (full_visibility_table), so the
         # lookup is schedule-independent and the table is camera-cacheable.
@@ -259,29 +284,80 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
         light_sampler = make_sphere_light_sampler(
             n_spheres, cfg.emissive_every, fetch)
 
-    # Sample loop: several samples per pixel per scheduled tile amortize the
-    # per-tile fixed costs (block DMA, tonemap, grid step).
-    sum_r = sum_g = sum_b = jnp.zeros((cfg.tile_height, cfg.tile_width), f32)
+    th, tw = cfg.tile_height, cfg.tile_width
+    spp = cfg.spp_per_step
+    sum_r = sum_g = sum_b = jnp.zeros((th, tw), f32)
     finalize = lambda: None
-    for s in range(cfg.spp_per_step):
-        sampler, finalize = make_kernel_sampler(
-            cfg, pixel_index, sample_index + jnp.uint32(s), rng_in, rng_out,
-            stream=stream)
-        u1, u2 = sampler.draw2()  # pixel jitter (glsl:371)
-        rays = generate_rays(cfg, cam_ref, col.astype(f32), row.astype(f32),
-                             u1, u2)
-        r, g, b = shade(cfg, intersect, sampler, *rays,
-                        skip_empty=cfg.skip_empty_tiles,
-                        intersect_primary=intersect_primary,
-                        intersect_anyhit=intersect_anyhit,
-                        light_sampler=light_sampler)
-        sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
-        if cfg.rng_stateful and s + 1 < cfg.spp_per_step:
-            # Stateful modes must chain states across sub-samples.
-            finalize()
-            rng_in = rng_out
+    group = cfg.spp_stack if not cfg.rng_stateful else 1
+    while spp % group:
+        group -= 1
+    if group > 1:
+        # STACKED samples: `group` samples of the tile as one (group*th, tw)
+        # lane block instead of a sequential sample loop. Per-lane values
+        # are unchanged (counter-based RNG keys on (pixel, sample) — the
+        # threefry draws are bit-identical to the looped form), but the
+        # serial-dependency-bound parts of the pipeline — above all the
+        # 64-step Mandelbrot escape chain, whose per-lane iterations form a
+        # serial chain that leaves the VPU starved at one tile's 4 vregs —
+        # now run group-times-more independent chains in flight, and
+        # per-sample fixed costs are amortized. The group is a knob rather
+        # than all of spp because the fully-unrolled sphere sweep carries 6
+        # live planes: at (spp*th, tw) = (128, 128) the carries exceed the
+        # vector register file and Mosaic spills (measured 8.4 ms/step vs
+        # 5.4 unstacked; group=2 is the sweet spot). Stateful parity modes
+        # keep the loop (their per-pixel streams chain sample-to-sample).
+        sh = group * th
+        stack = lambda a: jnp.concatenate([a] * group, axis=0)
+        pix_s = stack(pixel_index)
+        col_s = stack(col)
+        row_s = stack(row)
+        row_block = (jax.lax.broadcasted_iota(jnp.int32, (sh, tw), 0)
+                     // jnp.int32(th)).astype(jnp.uint32)
+        for s0 in range(0, spp, group):
+            # Per-row-block sample index: rows [s*th, (s+1)*th) = sample s.
+            si = sample_index + jnp.uint32(s0) + row_block
+            # tpu_hw seeds a scalar register; one seed per group.
+            samp_arg = (sample_index + jnp.uint32(s0)
+                        if cfg.rng == "tpu_hw" else si)
+            sampler, _ = make_kernel_sampler(cfg, pix_s, samp_arg, None,
+                                             None, stream=stream,
+                                             shape=(sh, tw))
+            u1, u2 = sampler.draw2()  # pixel jitter (glsl:371)
+            rays = generate_rays(cfg, cam_ref, col_s.astype(f32),
+                                 row_s.astype(f32), u1, u2)
+            r, g, b = shade(cfg, intersect, sampler, *rays,
+                            skip_empty=cfg.skip_empty_tiles,
+                            intersect_primary=intersect_primary,
+                            intersect_anyhit=intersect_anyhit,
+                            intersect_anyhit_env=intersect_anyhit_env,
+                            light_sampler=light_sampler)
+            for s in range(group):  # same left-fold order as the loop
+                sl = slice(s * th, (s + 1) * th)
+                sum_r, sum_g, sum_b = (sum_r + r[sl], sum_g + g[sl],
+                                       sum_b + b[sl])
+    else:
+        # Sample loop: several samples per pixel per scheduled tile amortize
+        # the per-tile fixed costs (block DMA, tonemap, grid step).
+        for s in range(spp):
+            sampler, finalize = make_kernel_sampler(
+                cfg, pixel_index, sample_index + jnp.uint32(s), rng_in,
+                rng_out, stream=stream)
+            u1, u2 = sampler.draw2()  # pixel jitter (glsl:371)
+            rays = generate_rays(cfg, cam_ref, col.astype(f32),
+                                 row.astype(f32), u1, u2)
+            r, g, b = shade(cfg, intersect, sampler, *rays,
+                            skip_empty=cfg.skip_empty_tiles,
+                            intersect_primary=intersect_primary,
+                            intersect_anyhit=intersect_anyhit,
+                            intersect_anyhit_env=intersect_anyhit_env,
+                            light_sampler=light_sampler)
+            sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
+            if cfg.rng_stateful and s + 1 < spp:
+                # Stateful modes must chain states across sub-samples.
+                finalize()
+                rng_in = rng_out
     accumulate_and_tonemap(cfg, accum_in, accum_out, out_out,
-                           sum_r, sum_g, sum_b, spp=cfg.spp_per_step)
+                           sum_r, sum_g, sum_b, spp=spp)
     finalize()
 
 
@@ -344,6 +420,10 @@ def build_sphere_call(cfg, scene, sphere_unroll: int | None = None,
         out_shape=out_shape,
         input_output_aliases=aliases,
         interpret=interpret_mode(),
+        # The stacked-sample block (spp*th, tw) times the fully-unrolled
+        # sphere sweep's live ranges exceeds Mosaic's conservative 16 MB
+        # scoped-VMEM default; v5e has 128 MB of physical VMEM.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
     )
 
 

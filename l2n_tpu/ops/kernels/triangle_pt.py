@@ -281,6 +281,20 @@ def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, start, count,
                 btu, btv,
                 jnp.where(better, jnp.int32(m), bmesh))
 
+    return _sweep_loop(tri, start, count, carry)
+
+
+def _sweep_loop(tri, start, count, carry):
+    """Static (cluster) bounds: FULLY UNROLL — a rolled Mosaic fori_loop
+    pays per-iteration loop overhead comparable to the ~35-op body itself,
+    and unrolling lets the independent per-triangle candidates pipeline
+    (the same lesson as the sphere sweep and the Mandelbrot chain).
+    Dynamic bounds (the cone-culled primary's visible count) keep the
+    loop."""
+    if isinstance(start, int) and isinstance(count, int):
+        for t in range(start, start + count):
+            carry = tri(t, carry)
+        return carry
     return jax.lax.fori_loop(start, start + count, tri, carry)
 
 
@@ -319,7 +333,7 @@ def _sweep_mesh_fast(blk, m, carry, ox, oy, oz, dx, dy, dz, start, count):
         return (jnp.where(better, th, bt),
                 jnp.where(better, jnp.int32(m), bmesh))
 
-    return jax.lax.fori_loop(start, start + count, tri, carry)
+    return _sweep_loop(tri, start, count, carry)
 
 
 def _anyhit_mesh(blk, any_hit, ox, oy, oz, dx, dy, dz, start, count):
@@ -349,7 +363,7 @@ def _anyhit_mesh(blk, any_hit, ox, oy, oz, dx, dy, dz, start, count):
                  & (u + v <= 1.0) & (th >= eps))
         return any_hit | valid.astype(jnp.int32)
 
-    return jax.lax.fori_loop(start, start + count, tri, any_hit)
+    return _sweep_loop(tri, start, count, any_hit)
 
 
 def _bound_enter(ox, oy, oz, dx, dy, dz, cx, cy, cz, r2):
@@ -667,7 +681,13 @@ def build_triangle_call(cfg, scene: TriangleScene):
                 smem(), smem(), smem(), smem(), smem(),  # bounds SoA + radius
                 smem(),                          # cluster bounds (M, C, 5)
                 smem(),                          # inner_gap (M,)
-                pl.BlockSpec(memory_space=pl.ANY),  # triangle blocks (HBM)
+                # Triangle blocks stay RESIDENT IN VMEM (3 MB for the
+                # reference scene): per-mesh staging copies are then
+                # on-chip VMEM->SMEM, not HBM->SMEM — the synchronous
+                # wait() per mesh made the kernel DMA-latency-bound
+                # (~400 us/tile-sample, ~4x the sweep compute). Scenes too
+                # big for VMEM would need pl.ANY + double buffering.
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 tile_map(4), tile_map(3)]
     out_specs = [tile_map(4), tile_map(3)]
     out_shape = [jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),

@@ -314,8 +314,9 @@ def _finish_path(cfg, intersect, sampler, start_b, entered, pending, dist,
                  cast_ox, cast_oy, cast_oz, bdx, bdy, bdz,
                  tp_r, tp_g, tp_b, col_r, col_g, col_b,
                  prev_pdf, emission_ok,
-                 intersect_anyhit=None, light_sampler=None,
-                 use_nee=False, use_mis=False, stats=None):
+                 intersect_anyhit=None, intersect_anyhit_env=None,
+                 light_sampler=None, use_nee=False, use_mis=False,
+                 stats=None):
     """Finish a path from a PENDING cast ray issued at iteration start_b - 1:
     intersect it, then run iterations start_b .. max_bounces-1 and the final
     environment resolve (glsl:312-314).
@@ -334,34 +335,49 @@ def _finish_path(cfg, intersect, sampler, start_b, entered, pending, dist,
     """
     f32 = jnp.float32
 
-    def env_add(col_r, col_g, col_b, dist, edx, edy, edz):
+    def env_add(col_r, col_g, col_b, dist, edx, edy, edz, le=None):
         if cfg.env_mode == "none":
             return col_r, col_g, col_b
         env_ok = entered & (dist == f32(-1.0))
-        le = _env_term(cfg, edx, edy, edz)
+        if le is None:
+            le = _env_term(cfg, edx, edy, edz)
         return (jnp.where(env_ok, col_r + tp_r * le, col_r),
                 jnp.where(env_ok, col_g + tp_g * le, col_g),
                 jnp.where(env_ok, col_b + tp_b * le, col_b))
+
+    def final_anyhit(cast_ox, cast_oy, cast_oz, bdx, bdy, bdz):
+        # The final segment's any-hit, optionally FUSED with the env
+        # evaluation on the same directions: the Mandelbrot chain's
+        # iterations interleave into the sweep's independent candidates
+        # (see sphere_scene_anyhit). Same ops, same values — the fusion is
+        # purely an instruction-scheduling device.
+        if intersect_anyhit_env is not None and cfg.env_mode != "none":
+            hit_any, le_raw = intersect_anyhit_env(cast_ox, cast_oy, cast_oz,
+                                                   bdx, bdy, bdz)
+            return hit_any, le_raw * f32(cfg.env_scale)
+        if intersect_anyhit is not None:
+            return intersect_anyhit(cast_ox, cast_oy, cast_oz,
+                                    bdx, bdy, bdz), None
+        return None, None
 
     if start_b >= cfg.max_bounces:
         # The pending cast is the path's FINAL segment: its nearest hit is
         # only ever compared with the miss sentinel (glsl:312-314), so a
         # boolean any-hit resolve suffices.
-        if intersect_anyhit is not None:
-            hit_any = intersect_anyhit(cast_ox, cast_oy, cast_oz,
-                                       bdx, bdy, bdz)
-        else:
+        hit_any, le = final_anyhit(cast_ox, cast_oy, cast_oz, bdx, bdy, bdz)
+        if hit_any is None:
             hit_any = intersect(cast_ox, cast_oy, cast_oz,
                                 bdx, bdy, bdz).t >= 0.0
         dist = jnp.where(pending,
                          jnp.where(hit_any, f32(1.0), f32(-1.0)), dist)
-        return env_add(col_r, col_g, col_b, dist, bdx, bdy, bdz)
+        return env_add(col_r, col_g, col_b, dist, bdx, bdy, bdz, le=le)
 
     new = intersect(cast_ox, cast_oy, cast_oz, bdx, bdy, bdz)
     dist = jnp.where(pending, new.t, dist)
     box, boy, boz = cast_ox, cast_oy, cast_oz
     cur_t, nx, ny, nz = new.t, new.nx, new.ny, new.nz
     index, emis_r2, bound_r2 = new.index, new.emis_r2, _hit_bound_r2(new)
+    final_le = None
 
     for b in range(start_b, cfg.max_bounces):
         # Resolve this iteration's incoming hit: emissive lanes add their
@@ -379,9 +395,11 @@ def _finish_path(cfg, intersect, sampler, start_b, entered, pending, dist,
             diffuse, tp_r, tp_g, tp_b, col_r, col_g, col_b, prev_pdf,
             emission_ok, stats=stats)
         dist = jnp.where(diffuse & ~survive, f32(-2.0), dist)
-        if b + 1 == cfg.max_bounces and intersect_anyhit is not None:
-            hit_any = intersect_anyhit(cast_ox, cast_oy, cast_oz,
-                                       bdx, bdy, bdz)
+        has_anyhit = intersect_anyhit is not None or (
+            intersect_anyhit_env is not None and cfg.env_mode != "none")
+        if b + 1 == cfg.max_bounces and has_anyhit:
+            hit_any, final_le = final_anyhit(cast_ox, cast_oy, cast_oz,
+                                             bdx, bdy, bdz)
             dist = jnp.where(survive,
                              jnp.where(hit_any, f32(1.0), f32(-1.0)), dist)
         else:
@@ -391,13 +409,14 @@ def _finish_path(cfg, intersect, sampler, start_b, entered, pending, dist,
             index, emis_r2 = new.index, new.emis_r2
             bound_r2 = _hit_bound_r2(new)
 
-    return env_add(col_r, col_g, col_b, dist, bdx, bdy, bdz)
+    return env_add(col_r, col_g, col_b, dist, bdx, bdy, bdz, le=final_le)
 
 
 def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
                skip_empty: bool = False, stats: dict | None = None,
                intersect_primary: IntersectFn | None = None,
-               intersect_anyhit=None, light_sampler=None):
+               intersect_anyhit=None, intersect_anyhit_env=None,
+               light_sampler=None):
     """Trace one sample per lane; returns (r, g, b).
 
     Exact mask translation of sphere_pathtracing.cs.glsl:272-317 — see the
@@ -483,7 +502,9 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
             cfg, intersect, sampler, 1, p_diffuse | p_miss, survive, dist,
             cast_ox, cast_oy, cast_oz, bdx, bdy, bdz, tp_r, tp_g, tp_b,
             col_r, col_g, col_b, prev_pdf, emission_ok,
-            intersect_anyhit=intersect_anyhit, light_sampler=light_sampler,
+            intersect_anyhit=intersect_anyhit,
+            intersect_anyhit_env=intersect_anyhit_env,
+            light_sampler=light_sampler,
             use_nee=use_nee, use_mis=use_mis, stats=stats)
 
     # Exactly ONE branch per sample, and only the three color sums cross
@@ -684,7 +705,8 @@ def aov_param_uv(intersect, ox, oy, oz, dx, dy, dz):
 def shade(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
           miss_color=(0.0, 0.0, 0.0), skip_empty: bool = False,
           intersect_primary: IntersectFn | None = None,
-          intersect_anyhit=None, light_sampler=None):
+          intersect_anyhit=None, intersect_anyhit_env=None,
+          light_sampler=None):
     """Dispatch on cfg.aov (static). `intersect_primary` (optional) is a
     sweep specialized for the camera cast; `intersect_anyhit` (optional) a
     boolean sweep for the last segment; AOVs are all primary-only except
@@ -695,6 +717,7 @@ def shade(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
                           skip_empty=skip_empty,
                           intersect_primary=intersect_primary,
                           intersect_anyhit=intersect_anyhit,
+                          intersect_anyhit_env=intersect_anyhit_env,
                           light_sampler=light_sampler)
     if cfg.aov == "normal":
         return aov_normal(primary, ox, oy, oz, dx, dy, dz, miss_color)

@@ -226,6 +226,42 @@ class TestWavefront:
             CFG.replace(wavefront=True, rng="tinymt").validate()
 
 
+class TestSppStack:
+    """spp_stack traces N samples as one (N*th, tw) lane block instead of
+    sequential sample-loop passes. Counter-based RNG keys on (pixel,
+    sample), so per-lane draws — and therefore every per-lane float op —
+    are identical; the stacked image must equal the looped one exactly."""
+
+    def test_stacked_matches_loop(self):
+        cfg = CFG.replace(spp_per_step=4, spp_stack=1,
+                          skip_empty_tiles=False)
+        ref = run_steps("pallas", cfg)
+        for stack in (2, 4):
+            got = run_steps("pallas", cfg.replace(spp_stack=stack))
+            np.testing.assert_array_equal(np.asarray(ref.accum),
+                                          np.asarray(got.accum))
+
+    def test_stacked_matches_oracle(self):
+        cfg = CFG.replace(spp_per_step=4, spp_stack=2)
+        so = run_steps("xla", cfg)
+        sp = run_steps("pallas", cfg)
+        np.testing.assert_array_equal(np.asarray(so.accum[3]),
+                                      np.asarray(sp.accum[3]))
+        a, b = np.asarray(so.accum), np.asarray(sp.accum)
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-3
+        diff = np.abs(np.asarray(so.output) - np.asarray(sp.output))
+        assert (diff > 1e-3).mean() < 1e-3
+
+    def test_non_divisor_stack_clamps(self):
+        # spp_stack=4 with spp=3 clamps down to the largest divisor (3).
+        cfg = CFG.replace(spp_per_step=3, spp_stack=4,
+                          skip_empty_tiles=False)
+        ref = run_steps("pallas", cfg.replace(spp_stack=1))
+        got = run_steps("pallas", cfg)
+        np.testing.assert_array_equal(np.asarray(ref.accum),
+                                      np.asarray(got.accum))
+
+
 class TestStepsPerCall:
     """steps_per_call=N fuses N scheduler steps into one dispatch via
     lax.fori_loop — the image must equal N single-step calls exactly."""
