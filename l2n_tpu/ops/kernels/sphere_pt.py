@@ -202,7 +202,7 @@ def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz):
                nz=nz * rcp, index=best_i, emis_r2=br2)
 
 
-def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
+def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, *refs):
     if not cfg.rng_stateful:
         (sched_ref, vis_ref, cam_ref, cx_ref, cy_ref, cz_ref, r2_ref,
          accum_in, _out_in, accum_out, out_out) = refs
@@ -230,15 +230,22 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
     def fetch(s):
         return cx_ref[s], cy_ref[s], cz_ref[s], r2_ref[s]
 
-    def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
+    def _nearest(ox, oy, oz, dx, dy, dz, assume_outside) -> Hit:
         t, px, py, pz, nx, ny, nz, idx, br2 = intersect_sphere_scene(
-            ox, oy, oz, dx, dy, dz, n_spheres, fetch, unroll=sphere_unroll)
+            ox, oy, oz, dx, dy, dz, n_spheres, fetch, unroll=sphere_unroll,
+            assume_outside=assume_outside)
         return Hit(t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
                    index=idx, emis_r2=br2)
 
+    def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
+        # Bounce/shadow sweeps: origins sit on sphere surfaces, so in a
+        # disjoint scene the t2 fallback is provably dead (spheres_disjoint).
+        return _nearest(ox, oy, oz, dx, dy, dz, outside_ok)
+
     def intersect_anyhit(ox, oy, oz, dx, dy, dz):
         return sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, n_spheres, fetch,
-                                   unroll=sphere_unroll)
+                                   unroll=sphere_unroll,
+                                   assume_outside=outside_ok)
 
     intersect_anyhit_env = None
     if cfg.env_mode == "mandelbrot" and sphere_unroll == n_spheres:
@@ -261,7 +268,7 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
             carry = mandelbrot_begin(dx, dy, dz, shape)
             hit, carry = sphere_scene_anyhit(
                 ox, oy, oz, dx, dy, dz, n_spheres, fetch,
-                unroll=sphere_unroll,
+                unroll=sphere_unroll, assume_outside=outside_ok,
                 interleave=(carry, mandelbrot_step, MANDELBROT_ITERS))
             return hit, mandelbrot_finish(carry)
 
@@ -276,7 +283,11 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
                                  lambda k: vis_ref[tid, 1 + k], n_vis,
                                  ox, oy, oz, dx, dy, dz)
     else:
-        intersect_primary = intersect
+        # The camera is not covered by the disjointness argument (it can
+        # sit inside a sphere, where the reference returns the t2 exit
+        # root) — the un-culled primary keeps the full sweep.
+        def intersect_primary(ox, oy, oz, dx, dy, dz) -> Hit:
+            return _nearest(ox, oy, oz, dx, dy, dz, False)
 
     light_sampler = None
     if cfg.nee:
@@ -414,8 +425,13 @@ def build_sphere_call(cfg, scene, sphere_unroll: int | None = None,
         out_specs=out_specs,
     )
 
+    # Exact t1-only sweeps for provably disjoint scenes (the default
+    # procedural scene does NOT qualify — see spheres_disjoint).
+    from l2n_tpu.scene.spheres import spheres_disjoint
+    outside_ok = spheres_disjoint(scene, margin=2.0 * cfg.ray_epsilon)
+
     return pl.pallas_call(
-        partial(_kernel, cfg, n, sphere_unroll, cone_cull),
+        partial(_kernel, cfg, n, sphere_unroll, cone_cull, outside_ok),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,

@@ -48,6 +48,29 @@ class SphereScene:
         ).astype(np.float32)
 
 
+def spheres_disjoint(scene: SphereScene, margin: float = 0.0) -> bool:
+    """True iff no two spheres overlap (pairwise center distance exceeds
+    the radius sum by at least `margin`).
+
+    Gates the exact t1-only intersection sweeps (`assume_outside` in
+    ops.intersect): in a disjoint scene every bounce/shadow-ray origin —
+    a hit point on some sphere's surface plus the ray epsilon — lies
+    OUTSIDE every sphere, so the reference's inside-the-sphere t2
+    fallback (sphere_pathtracing.cs.glsl:157-161) is provably dead and
+    dropping it is an exact optimization. Pass margin >= ray_epsilon so
+    the epsilon-offset origins stay outside too. The reference's default
+    procedural scene does NOT qualify (7 overlapping pairs at seed 0), so
+    the fast path auto-enables only for scenes that do.
+    """
+    c = np.stack([np.asarray(scene.center_x), np.asarray(scene.center_y),
+                  np.asarray(scene.center_z)], axis=1).astype(np.float64)
+    r = np.sqrt(np.asarray(scene.sqr_radius, np.float64))
+    d = np.sqrt(((c[:, None, :] - c[None, :, :]) ** 2).sum(-1))
+    lim = r[:, None] + r[None, :] + margin
+    np.fill_diagonal(d, np.inf)
+    return bool((d > lim).all())
+
+
 def compute_spheres(
     sphere_count: int = 128, world_size: float = 1024.0, seed: int = 0
 ) -> SphereScene:

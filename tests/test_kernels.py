@@ -226,6 +226,55 @@ class TestWavefront:
             CFG.replace(wavefront=True, rng="tinymt").validate()
 
 
+class TestDisjointSceneFastPath:
+    """For provably disjoint scenes the kernel's bounce/shadow sweeps drop
+    the reference's t2 fallback (assume_outside — an EXACT equivalence, see
+    intersect_sphere_scene); the image must still match the oracle, which
+    keeps the full reference sweep."""
+
+    def _grid_scene(self):
+        import jax.numpy as jnp
+        from l2n_tpu.scene import SphereScene
+        from l2n_tpu.scene.spheres import spheres_disjoint
+        xs = np.array([-300, -100, 100, 300] * 4, np.float32)
+        ys = np.repeat([-150, -50, 50, 150], 4).astype(np.float32)
+        zs = np.where(np.arange(16) % 2 == 0, -80.0, 60.0).astype(np.float32)
+        scene = SphereScene(center_x=jnp.asarray(xs), center_y=jnp.asarray(ys),
+                            center_z=jnp.asarray(zs),
+                            sqr_radius=jnp.full((16,), 30.0 ** 2, jnp.float32))
+        assert spheres_disjoint(scene, margin=1.0)
+        return scene
+
+    def test_matches_oracle(self):
+        from l2n_tpu.render.state import init_frame_state as init
+        cfg = CFG.replace(sphere_count=16).validate()
+        scene = self._grid_scene()
+        cam = Camera.from_config(cfg).packed()
+        states = []
+        for backend in ("xla", "pallas"):
+            prog = SphereProgram(cfg, scene=scene, backend=backend)
+            st = init(cfg)
+            for _ in range(2):
+                st = prog.step(st, cam)
+            states.append(st)
+        so, sp = states
+        np.testing.assert_array_equal(np.asarray(so.accum[3]),
+                                      np.asarray(sp.accum[3]))
+        a, b = np.asarray(so.accum), np.asarray(sp.accum)
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-3
+        diff = np.abs(np.asarray(so.output) - np.asarray(sp.output))
+        assert (diff > 1e-3).mean() < 1e-3
+
+    def test_default_scene_not_disjoint(self):
+        # The reference's procedural scene has overlapping pairs, so the
+        # fast path must stay OFF there (the t2 fallback is live).
+        from l2n_tpu.scene import compute_spheres
+        from l2n_tpu.scene.spheres import spheres_disjoint
+        cfg = RenderConfig().validate()
+        scene = compute_spheres(128, 1024.0, cfg.scene_seed)
+        assert not spheres_disjoint(scene)
+
+
 class TestSppStack:
     """spp_stack traces N samples as one (N*th, tw) lane block instead of
     sequential sample-loop passes. Counter-based RNG keys on (pixel,
