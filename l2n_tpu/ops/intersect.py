@@ -45,10 +45,14 @@ def intersect_sphere_scene(
 
     `assume_outside=True` asserts every ray origin lies OUTSIDE every
     sphere (c > 0). Then both roots share c's sign, so t1 < 0 implies
-    t2 < 0 and the reference's t2 fallback can never win: skipping it is an
-    EXACT equivalence, not an approximation. Used for bounce/shadow rays in
-    disjoint-sphere scenes (origins sit on a sphere's surface plus an
-    epsilon that no other sphere reaches — see spheres_disjoint).
+    t2 < 0 and the reference's t2 fallback can never win. Used for
+    bounce/shadow rays in disjoint-sphere scenes (origins sit on a
+    sphere's surface plus an epsilon that no other sphere reaches — see
+    spheres_disjoint). Exact up to one fp corner: a hit point can ROUND
+    to marginally inside its own sphere, and a near-tangent secondary ray
+    (grazing NEE/cosine samples, P ~ 1e-5) then keeps c < 0 for that
+    sphere — the reference self-occludes via t2 where this sweep does
+    not. Isolated-lane divergence of the statistical parity class.
 
     Returns (t, px, py, pz, nx, ny, nz, index, sqr_radius) — index is int32,
     -1 on miss; position/normal/sqr_radius are for the winning sphere (the

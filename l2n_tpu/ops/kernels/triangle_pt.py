@@ -10,16 +10,20 @@ reference lacks — beating it is the point):
      applied to mesh bounding spheres: a host-side, per-camera-cached table
      lists the meshes whose bounds meet each tile's view cone (typically a
      handful of 128), and the kernel loops over exactly those.
-  2. BOUNCE casts walk mesh bounds front-to-back with a cheap sqrt-free
-     entry test; a mesh's triangles are swept only when some lane's ray
-     enters its bound closer than that lane's current best. The running
-     best-hit state lives in VMEM scratch and the per-mesh skip is a
-     `pl.when` — no `lax.cond` vector carries (measured ~0.4us per carried
-     (32,128) array on v5e, which made carry-based skipping the dominant
-     cost of round 1's kernel).
+  2. BOUNCE casts on lat/long-tessellated sphere scenes (the reference
+     scene — detected exactly) use the PROCEDURAL SHELLWALK
+     (ops/kernels/shellwalk.py): each lane recomputes its own candidate
+     meshes' triangles from (center, radius, cell index), sidestepping
+     the lockstep-union tax entirely (a (32,128) block's rays
+     collectively enter ~90 of 128 mesh bounds, though each ray enters
+     ~1.2 — memory-based sweeps pay the union). The <0.1% of rays the
+     shellwalk cannot bound (near-pole / grazing chords, inscribed-sphere
+     starts) fall back to a work-list mesh walk whose flags are built
+     branch-free in one unrolled pass and compacted by a scalar loop.
+     Non-procedural scenes (OBJ) always use the work-list walk.
   3. The LAST path segment only feeds the environment test (see
-     ops/pathtrace.py), so it runs a boolean any-hit Möller-Trumbore sweep —
-     no winner tracking, no attribute interpolation.
+     ops/pathtrace.py), so its fallback runs a boolean any-hit
+     Möller-Trumbore sweep — no winner tracking, no interpolation.
 
 Surviving meshes stream their triangle block from HBM into SMEM with an
 async DMA (the TPU analog of the reference's bindless pointer chase,
@@ -382,17 +386,20 @@ def _bound_enter(ox, oy, oz, dx, dy, dz, cx, cy, cz, r2):
     return enter, hb, c
 
 
-def _kernel(cfg, mesh_count, tpad, fast, *refs):
+def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, *refs):
     if not cfg.rng_stateful:
         (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
-         br2_ref, brad_ref, ccb_ref, gap_ref, blocks_hbm, accum_in, _out_in,
-         accum_out, out_out, smem_blk, dma_sem, best_f, best_i) = refs
+         br2_ref, brad_ref, ccb_ref, gap_ref, tcx_ref, tcy_ref, tcz_ref,
+         tr_ref, blocks_hbm, accum_in, _out_in,
+         accum_out, out_out, smem_blk, dma_sem, best_f, best_i,
+         flags_vmem, flags_ref, wlist_ref) = refs
         rng_in = rng_out = None
     else:
         (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
-         br2_ref, brad_ref, ccb_ref, gap_ref, blocks_hbm, accum_in, _out_in,
+         br2_ref, brad_ref, ccb_ref, gap_ref, tcx_ref, tcy_ref, tcz_ref,
+         tr_ref, blocks_hbm, accum_in, _out_in,
          rng_in, accum_out, out_out, rng_out, smem_blk, dma_sem, best_f,
-         best_i) = refs
+         best_i, flags_vmem, flags_ref, wlist_ref) = refs
 
     f32 = jnp.float32
     big = f32(3.0e38)
@@ -467,9 +474,13 @@ def _kernel(cfg, mesh_count, tpad, fast, *refs):
         return jax.lax.fori_loop(0, mesh_count, pick, jnp.ones(shape, f32))
 
     def finish(ox, oy, oz, dx, dy, dz) -> Hit:
+        # bmesh >= 0 guards against lanes whose inscribed-sphere seed
+        # (see intersect) promised a hit that the epsilon-cracked triangle
+        # sweep then failed to deliver — the same isolated-boundary class
+        # the any-hit certain-hit shortcut budgets for.
         if fast:
             bt, bmesh = read_best()
-            hit = bt < big
+            hit = (bt < big) & (bmesh >= 0)
             bt = jnp.where(hit, bt, f32(-1.0))
             # Recover the winner's center/radius with one scalar pass over
             # the meshes (6 vector ops each) instead of carrying them
@@ -503,7 +514,7 @@ def _kernel(cfg, mesh_count, tpad, fast, *refs):
                        tc_u=zero, tc_v=zero, b_u=zero, b_v=zero,
                        bound_r2=b2)
         bt, bu, bv, nx, ny, nz, tu, tv, bmesh = read_best()
-        hit = bt < big
+        hit = (bt < big) & (bmesh >= 0)
         bt = jnp.where(hit, bt, f32(-1.0))
         return Hit(t=bt, px=zero, py=zero, pz=zero,
                    nx=nx, ny=ny, nz=nz, index=bmesh,
@@ -527,19 +538,171 @@ def _kernel(cfg, mesh_count, tpad, fast, *refs):
         jax.lax.fori_loop(0, n_vis, per_vis, jnp.int32(0))
         return finish(ox, oy, oz, dx, dy, dz)
 
-    def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
-        # Bounce nearest-hit: walk bounds front-to-back (per-camera order
-        # from the host); sweep a mesh only when some lane's ray enters its
-        # bound closer than that lane's current best.
-        init_best()
+    # ---- Work-list machinery for the bounce walks --------------------------
+    # The r2-midpoint kernel walked ALL mesh_count bounds in a rolled
+    # fori_loop whose per-mesh body did a vector->scalar `jnp.any` + a
+    # `pl.when` — measured as the dominant cost of the whole kernel (the
+    # walks, not the triangle sweeps). Here each walk becomes:
+    #   1. one UNROLLED branch-free pass over all meshes (static ids,
+    #      vector-only: no reductions, no branches) that computes per-mesh
+    #      need flags as 0/1 LANES of a flag row, plus any per-lane seeds;
+    #   2. one on-chip copy of the flag row to SMEM;
+    #   3. a cheap SCALAR loop compacting flagged mesh ids (front-to-back)
+    #      into wlist;
+    #   4. a rolled loop over just the ~dozen surviving meshes that does
+    #      the DMA + cluster-gated triangle sweeps.
+    flag_rows = (mesh_count + 127) // 128
+    lane_of = jax.lax.broadcasted_iota(jnp.int32, (flag_rows, 128), 1)
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (flag_rows, 128), 0)
+
+    def _flag_put(frow, m, cond):
+        # any(cond) as a (1,1) vector value (no scalar sync), placed into
+        # flag lane m.
+        bit = jnp.max(cond.astype(jnp.int32), keepdims=True)
+        sel = (row_of == m // 128) & (lane_of == m % 128)
+        return jnp.where(sel, bit, frow)
+
+    def _compact(frow):
+        # Flag row -> SMEM, then a scalar pass appends flagged mesh ids in
+        # front-to-back order. Branch-free append: write always, advance
+        # the cursor by the flag.
+        flags_vmem[...] = frow
+        cp = pltpu.make_async_copy(flags_vmem, flags_ref, dma_sem)
+        cp.start()
+        cp.wait()
+
+        def body(j, k):
+            m = order_ref[j]
+            wlist_ref[k] = m
+            return k + flags_ref[m // 128, m % 128]
+
+        return jax.lax.fori_loop(0, mesh_count, body, jnp.int32(0))
+
+    def _mesh_bound(m, ox, oy, oz, dx, dy, dz):
+        return _bound_enter(ox, oy, oz, dx, dy, dz, bcx_ref[m],
+                            bcy_ref[m], bcz_ref[m], br2_ref[m])
+
+    def _pending_walk(pending, ox, oy, oz, dx, dy, dz):
+        # Fallback mesh-sweep walk for shellwalk's PENDING lanes (wide
+        # chords, inscribed starts, slot overflow — measured well under
+        # 0.1% of rays): flags only consider pending lanes, so the work
+        # list is empty for almost every block.
+        frow = jnp.zeros((flag_rows, 128), jnp.int32)
+        for m in range(mesh_count):
+            enter, hb, _c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
+            lower = jnp.maximum(-hb - brad_ref[m], f32(0.0))
+            frow = _flag_put(frow, m,
+                             pending & enter & (lower < best_f[0]))
+        n_work = _compact(frow)
 
         def per_mesh(j, _):
-            m = order_ref[j]
-            enter, hb, _c = _bound_enter(ox, oy, oz, dx, dy, dz, bcx_ref[m],
-                                         bcy_ref[m], bcz_ref[m], br2_ref[m])
-            # Conservative sqrt-free lower bound on any hit t inside the
-            # bound: -hb - radius <= t_entry.
+            m = wlist_ref[j]
+            dma_mesh(m)
+            sweep(m, ox, oy, oz, dx, dy, dz)
+            return _
+
+        jax.lax.fori_loop(0, n_work, per_mesh, jnp.int32(0))
+
+    def intersect_shell(ox, oy, oz, dx, dy, dz) -> Hit:
+        # Procedural nearest-hit (shellwalk): per-lane candidate meshes
+        # with recomputed geometry — no lockstep union, no SMEM sweeps
+        # except for the rare pending lanes.
+        from l2n_tpu.ops.kernels.shellwalk import BIG as SW_BIG
+        from l2n_tpu.ops.kernels.shellwalk import shell_nearest
+        disc_lat, disc_long, r_in_unit = shellwalk_cfg
+
+        def fetch_cr(m):
+            return tcx_ref[m], tcy_ref[m], tcz_ref[m], tr_ref[m]
+
+        t, m_hit, pending = shell_nearest(
+            disc_lat, disc_long, r_in_unit, mesh_count, fetch_cr,
+            ox, oy, oz, dx, dy, dz)
+        init_best()
+        # Seed the scratch with shellwalk's results: exact for resolved
+        # lanes; a valid upper bound for pending ones (the walk below can
+        # only find nearer stored-geometry hits).
+        best_f[0] = jnp.where(t >= 0.0, t, f32(SW_BIG))
+        best_i[0] = m_hit
+        _pending_walk(pending, ox, oy, oz, dx, dy, dz)
+        return finish(ox, oy, oz, dx, dy, dz)
+
+    def intersect_anyhit_shell(ox, oy, oz, dx, dy, dz):
+        from l2n_tpu.ops.kernels.shellwalk import shell_nearest
+        disc_lat, disc_long, r_in_unit = shellwalk_cfg
+
+        def fetch_cr(m):
+            return tcx_ref[m], tcy_ref[m], tcz_ref[m], tr_ref[m]
+
+        t, _m, pending = shell_nearest(
+            disc_lat, disc_long, r_in_unit, mesh_count, fetch_cr,
+            ox, oy, oz, dx, dy, dz)
+        hit = (t >= 0.0).astype(jnp.int32)
+        best_i[0] = hit
+        pend = pending & (hit == 0)
+        frow = jnp.zeros((flag_rows, 128), jnp.int32)
+        for m in range(mesh_count):
+            enter, _hb, _c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
+            frow = _flag_put(frow, m, pend & enter)
+        n_work = _compact(frow)
+
+        def per_mesh(j, _):
+            m = wlist_ref[j]
+            dma_mesh(m)
+            for c in range(_CLUSTERS):
+                entc, _h, _c2 = _bound_enter(
+                    ox, oy, oz, dx, dy, dz, ccb_ref[m, c, 0],
+                    ccb_ref[m, c, 1], ccb_ref[m, c, 2], ccb_ref[m, c, 3])
+
+                @pl.when(jnp.any(entc & (best_i[0] == 0)))
+                def _one(c=c):
+                    best_i[0] = _anyhit_mesh(
+                        smem_blk, best_i[0], ox, oy, oz, dx, dy, dz,
+                        c * csize, csize)
+            return _
+
+        jax.lax.fori_loop(0, n_work, per_mesh, jnp.int32(0))
+        return best_i[0] != 0
+
+    def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
+        # Bounce nearest-hit. Pass 1 also computes a per-lane UPPER BOUND
+        # on the nearest surface hit from the inscribed spheres of closed
+        # meshes (pack_mesh_blocks): a ray crossing mesh m's inner sphere
+        # must hit m's surface no later than the inner-sphere entry (and a
+        # ray STARTING inside it no later than the outer-sphere exit).
+        # Seeding best_t with an inflated copy of that bound prunes
+        # mesh- and cluster-level gates from the start; inflation keeps
+        # every real hit strictly below the seed, so the sweep result is
+        # unchanged (modulo the epsilon-crack caveat shared with the
+        # any-hit certain-hit shortcut).
+        init_best()
+        big_ = f32(3.0e38)
+        t_ub = jnp.full(shape, big_, f32)
+        for m in range(mesh_count):
+            _enter, hb, c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
+            c_in = c + gap_ref[m]
+            disc_in = hb * hb - c_in
+            crossing = (hb < 0.0) & (disc_in >= 0.0) & (c_in >= 0.0)
+            t_in = -hb - jnp.sqrt(jnp.maximum(disc_in, f32(0.0)))
+            t_exit = -hb + jnp.sqrt(jnp.maximum(hb * hb - c, f32(0.0)))
+            ub = jnp.where(crossing, t_in,
+                           jnp.where(c_in < 0.0, t_exit, big_))
+            t_ub = jnp.minimum(t_ub, ub)
+        seed = t_ub * f32(1.0 + 4e-6) + f32(1e-5)
+        best_f[0] = seed
+
+        frow = jnp.zeros((flag_rows, 128), jnp.int32)
+        for m in range(mesh_count):
+            enter, hb, _c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
             lower = jnp.maximum(-hb - brad_ref[m], f32(0.0))
+            frow = _flag_put(frow, m, enter & (lower < seed))
+        n_work = _compact(frow)
+
+        def per_mesh(j, _):
+            m = wlist_ref[j]
+            enter, hb, _c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
+            lower = jnp.maximum(-hb - brad_ref[m], f32(0.0))
+            # Re-check against the LIVE best: earlier sweeps in the
+            # front-to-back order tighten it below the static seed.
             needed = jnp.any(enter & (lower < best_f[0]))
 
             @pl.when(needed)
@@ -549,25 +712,29 @@ def _kernel(cfg, mesh_count, tpad, fast, *refs):
 
             return _
 
-        jax.lax.fori_loop(0, mesh_count, per_mesh, jnp.int32(0))
+        jax.lax.fori_loop(0, n_work, per_mesh, jnp.int32(0))
         return finish(ox, oy, oz, dx, dy, dz)
 
     def intersect_anyhit(ox, oy, oz, dx, dy, dz):
         # Boolean sweep for the last segment (env test only). Reuses the
-        # best_i scratch plane as the per-lane hit accumulator.
-        best_i[0] = jnp.zeros(shape, jnp.int32)
-
-        def per_mesh(j, _):
-            m = order_ref[j]
-            enter, hb, c = _bound_enter(ox, oy, oz, dx, dy, dz, bcx_ref[m],
-                                        bcy_ref[m], bcz_ref[m], br2_ref[m])
-            # Certain hit without any triangle test: the ray crosses the
-            # mesh's inscribed sphere and the mesh is closed (see
-            # pack_mesh_blocks): it MUST cross the surface in between.
+        # best_i scratch plane as the per-lane hit accumulator. Pass 1
+        # resolves all certain hits (inscribed-sphere crossings of closed
+        # meshes) branch-free; only grazing-band rays reach triangle tests.
+        acc = jnp.zeros(shape, jnp.int32)
+        frow = jnp.zeros((flag_rows, 128), jnp.int32)
+        for m in range(mesh_count):
+            enter, hb, c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
             c_in = c + gap_ref[m]
             cross = (c_in < 0.0) | ((hb < 0.0) & (hb * hb - c_in >= 0.0))
-            best_i[0] = best_i[0] | cross.astype(jnp.int32)
-            needed = jnp.any(enter & ~cross & (best_i[0] == 0))
+            acc = acc | cross.astype(jnp.int32)
+            frow = _flag_put(frow, m, enter & ~cross)
+        best_i[0] = acc
+        n_work = _compact(frow)
+
+        def per_mesh(j, _):
+            m = wlist_ref[j]
+            enter, _hb, _c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
+            needed = jnp.any(enter & (best_i[0] == 0))
 
             @pl.when(needed)
             def _sweep():
@@ -585,8 +752,12 @@ def _kernel(cfg, mesh_count, tpad, fast, *refs):
 
             return _
 
-        jax.lax.fori_loop(0, mesh_count, per_mesh, jnp.int32(0))
+        jax.lax.fori_loop(0, n_work, per_mesh, jnp.int32(0))
         return best_i[0] != 0
+
+    if shellwalk_cfg is not None:
+        intersect = intersect_shell
+        intersect_anyhit = intersect_anyhit_shell
 
     light_sampler = None
     if cfg.nee:
@@ -641,6 +812,23 @@ def build_triangle_call(cfg, scene: TriangleScene):
     # mesh centers and no AOV needs texcoords/barycentrics.
     fast = sphere_normals and cfg.aov not in ("tex_coords", "param_uv")
     mesh_count, _, tpad = blocks_np.shape
+    # Procedural shellwalk for exact lat/long-tessellated sphere scenes
+    # (the reference scene): bounce casts recompute candidate geometry
+    # per lane instead of sweeping the lockstep union of mesh blocks.
+    shellwalk_cfg = None
+    tc_np = np.zeros((4, mesh_count), np.float32)
+    if fast:
+        from l2n_tpu.ops.kernels.shellwalk import (
+            detect_lat_long_spheres,
+            unit_inner_radius,
+        )
+        det = detect_lat_long_spheres(scene, cfg.disc_lat, cfg.disc_long)
+        if det is not None:
+            centers_np, radii_np = det
+            tc_np = np.concatenate([centers_np.T, radii_np[None]], 0)
+            shellwalk_cfg = (cfg.disc_lat, cfg.disc_long,
+                             unit_inner_radius(cfg.disc_lat, cfg.disc_long))
+    tc = [jnp.asarray(tc_np[k]) for k in range(4)]
     blocks = jnp.asarray(blocks_np)
     bounds = [jnp.asarray(bounds_np[:, j]) for j in range(4)]
     bradius = jnp.sqrt(bounds[3])
@@ -681,6 +869,7 @@ def build_triangle_call(cfg, scene: TriangleScene):
                 smem(), smem(), smem(), smem(), smem(),  # bounds SoA + radius
                 smem(),                          # cluster bounds (M, C, 5)
                 smem(),                          # inner_gap (M,)
+                smem(), smem(), smem(), smem(),  # tess centers + radii (M,)
                 # Triangle blocks stay RESIDENT IN VMEM (3 MB for the
                 # reference scene): per-mesh staging copies are then
                 # on-chip VMEM->SMEM, not HBM->SMEM — the synchronous
@@ -692,12 +881,12 @@ def build_triangle_call(cfg, scene: TriangleScene):
     out_specs = [tile_map(4), tile_map(3)]
     out_shape = [jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
                  jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)]
-    aliases = {12: 0, 13: 1}  # indices include the 2 scalar-prefetch operands
+    aliases = {16: 0, 17: 1}  # indices include the 2 scalar-prefetch operands
     if stateful:
         in_specs.append(tile_map(rng_planes))
         out_specs.append(tile_map(rng_planes))
         out_shape.append(jax.ShapeDtypeStruct((rng_planes, hp, wp), jnp.uint32))
-        aliases[14] = 2
+        aliases[18] = 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -709,11 +898,16 @@ def build_triangle_call(cfg, scene: TriangleScene):
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((1 if fast else 8, th, tw), jnp.float32),  # best hit
             pltpu.VMEM((1, th, tw), jnp.int32),     # best mesh / any-hit
+            # Bounce-walk work lists: vector-built flag row, its SMEM copy,
+            # and the compacted front-to-back mesh list (see _compact).
+            pltpu.VMEM(((mesh_count + 127) // 128, 128), jnp.int32),
+            pltpu.SMEM(((mesh_count + 127) // 128, 128), jnp.int32),
+            pltpu.SMEM((mesh_count,), jnp.int32),
         ],
     )
 
     call = pl.pallas_call(
-        partial(_kernel, cfg, mesh_count, tpad, fast),
+        partial(_kernel, cfg, mesh_count, tpad, fast, shellwalk_cfg),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
@@ -721,8 +915,9 @@ def build_triangle_call(cfg, scene: TriangleScene):
     )
     aux = SimpleNamespace(
         bounds=bounds, bradius=bradius, cbounds=cbounds, inner_gap=inner_gap,
-        blocks=blocks, mesh_count=mesh_count, table_fn=table_fn,
-        mesh_order=mesh_order, stateful=stateful, fast=fast)
+        tess=tc, blocks=blocks, mesh_count=mesh_count, table_fn=table_fn,
+        mesh_order=mesh_order, stateful=stateful, fast=fast,
+        shellwalk=shellwalk_cfg is not None)
     return call, aux
 
 
@@ -739,7 +934,7 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
     def kernel_step(state: FrameState, camera, table, order) -> FrameState:
         sched = scheduled_tiles(tile_array, state.tile_offset, k)
         args = [sched, table, camera, order, *aux.bounds, aux.bradius,
-                aux.cbounds, aux.inner_gap, aux.blocks,
+                aux.cbounds, aux.inner_gap, *aux.tess, aux.blocks,
                 state.accum, state.output]
         if aux.stateful:
             args.append(state.rng_state)

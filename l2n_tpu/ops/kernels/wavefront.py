@@ -84,16 +84,19 @@ def _ray_plane_count(cfg) -> int:
     return 10 if (cfg.nee and cfg.mis) else 9
 
 
-def _scene_closures(cfg, n_spheres, sphere_unroll, fetch):
+def _scene_closures(cfg, n_spheres, sphere_unroll, fetch,
+                    outside_ok=False):
     def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
         t, px, py, pz, nx, ny, nz, idx, br2 = intersect_sphere_scene(
-            ox, oy, oz, dx, dy, dz, n_spheres, fetch, unroll=sphere_unroll)
+            ox, oy, oz, dx, dy, dz, n_spheres, fetch, unroll=sphere_unroll,
+            assume_outside=outside_ok)
         return Hit(t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
                    index=idx, emis_r2=br2)
 
     def anyhit(ox, oy, oz, dx, dy, dz):
         return sphere_scene_anyhit(ox, oy, oz, dx, dy, dz, n_spheres, fetch,
-                                   unroll=sphere_unroll)
+                                   unroll=sphere_unroll,
+                                   assume_outside=outside_ok)
 
     light_sampler = None
     if cfg.nee:
@@ -107,7 +110,7 @@ def _scene_closures(cfg, n_spheres, sphere_unroll, fetch):
 # Pass A — primary + first scatter, one program per scheduled tile
 # ---------------------------------------------------------------------------
 
-def _pass_a_kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
+def _pass_a_kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, *refs):
     threefry = cfg.rng == "threefry"
     if threefry:
         (sched_ref, vis_ref, samp_ref, cam_ref, cx_ref, cy_ref, cz_ref,
@@ -132,7 +135,7 @@ def _pass_a_kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
         return cx_ref[s], cy_ref[s], cz_ref[s], r2_ref[s]
 
     intersect, _anyhit, light_sampler = _scene_closures(
-        cfg, n_spheres, sphere_unroll, fetch)
+        cfg, n_spheres, sphere_unroll, fetch, outside_ok=outside_ok)
 
     if cone_cull:
         tid = tile_y * jnp.int32(cfg.tile_count_x) + tile_x
@@ -178,7 +181,7 @@ def _pass_a_kernel(cfg, n_spheres, sphere_unroll, cone_cull, *refs):
 # ---------------------------------------------------------------------------
 
 def _pass_b_kernel(cfg, n_spheres, sphere_unroll, next_pair, has_spare,
-                   block_shape, *refs):
+                   block_shape, outside_ok, *refs):
     threefry = cfg.rng == "threefry"
     if threefry:
         (nalive_ref, cam_ref, cx_ref, cy_ref, cz_ref, r2_ref,
@@ -197,7 +200,7 @@ def _pass_b_kernel(cfg, n_spheres, sphere_unroll, next_pair, has_spare,
             return cx_ref[s], cy_ref[s], cz_ref[s], r2_ref[s]
 
         intersect, anyhit, light_sampler = _scene_closures(
-            cfg, n_spheres, sphere_unroll, fetch)
+            cfg, n_spheres, sphere_unroll, fetch, outside_ok=outside_ok)
         stream = cam_ref[ROW_PROJ, 3].astype(jnp.int32).astype(jnp.uint32)
 
         if threefry:
@@ -317,8 +320,14 @@ def build_sphere_wavefront_step(cfg, scene, tile_array,
         a_out_specs.append(lane_map(2, 3))
         a_out_shape.append(
             jax.ShapeDtypeStruct((2, k, spp * th, tw), jnp.uint32))
+    # Same disjoint-scene sweep specialization as the single-pass kernel
+    # (sphere_pt) so the two render paths stay op-for-op comparable.
+    from l2n_tpu.scene.spheres import spheres_disjoint
+    outside_ok = spheres_disjoint(scene, margin=2.0 * cfg.ray_epsilon)
+
     pass_a = pl.pallas_call(
-        partial(_pass_a_kernel, cfg, n, sphere_unroll, cone_cull),
+        partial(_pass_a_kernel, cfg, n, sphere_unroll, cone_cull,
+                outside_ok),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # schedule, vis table, sample indices
             grid=(k,), in_specs=a_in, out_specs=a_out_specs),
@@ -337,7 +346,7 @@ def build_sphere_wavefront_step(cfg, scene, tile_array,
         b_in.append(block_map(2))
     pass_b = pl.pallas_call(
         partial(_pass_b_kernel, cfg, n, sphere_unroll, next_pair, has_spare,
-                (bh, bw)),
+                (bh, bw), outside_ok),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # alive count
             grid=(nb,), in_specs=b_in, out_specs=[block_map(3)]),

@@ -52,13 +52,14 @@ def spheres_disjoint(scene: SphereScene, margin: float = 0.0) -> bool:
     """True iff no two spheres overlap (pairwise center distance exceeds
     the radius sum by at least `margin`).
 
-    Gates the exact t1-only intersection sweeps (`assume_outside` in
+    Gates the t1-only intersection sweeps (`assume_outside` in
     ops.intersect): in a disjoint scene every bounce/shadow-ray origin —
     a hit point on some sphere's surface plus the ray epsilon — lies
     OUTSIDE every sphere, so the reference's inside-the-sphere t2
-    fallback (sphere_pathtracing.cs.glsl:157-161) is provably dead and
-    dropping it is an exact optimization. Pass margin >= ray_epsilon so
-    the epsilon-offset origins stay outside too. The reference's default
+    fallback (sphere_pathtracing.cs.glsl:157-161) is dead and dropping
+    it changes nothing (up to the fp-grazing corner documented in
+    intersect_sphere_scene). Pass margin >= ray_epsilon so the
+    epsilon-offset origins stay outside too. The reference's default
     procedural scene does NOT qualify (7 overlapping pairs at seed 0), so
     the fast path auto-enables only for scenes that do.
     """
