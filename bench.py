@@ -151,7 +151,10 @@ def main() -> None:
     triangle_ms = None
     if on_tpu:
         from l2n_tpu.render.program import TriangleProgram
-        tri_cfg = cfg.replace(scene_kind="triangle", spp_per_step=4)
+        # 256-tile steps measured ~7% faster than whole-frame steps for
+        # the triangle kernel (smaller per-step shellwalk code footprint).
+        tri_cfg = cfg.replace(scene_kind="triangle", spp_per_step=4,
+                              tiles_per_step=256)
         tri = TriangleProgram(tri_cfg, backend=backend)
         tri_state = init_frame_state(tri_cfg)
         tri_state = tri.step(tri_state, camera.packed())
