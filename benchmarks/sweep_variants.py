@@ -1,6 +1,14 @@
 #!/usr/bin/env python
 """Microbenchmark: bounce-ray nearest-hit sweep formulations on real TPU.
 
+CAVEAT (see PROFILE.md "methodology"): this harness's absolute numbers do
+NOT transfer to the real kernel — its `vpu` baseline measured ~3x slower
+per candidate than the identical sweep inside the fused kernel (the
+chained-accumulator REPEATS serialize what the kernel pipelines). The
+relative `mxu` comparison led to a no-go either way; kept as the record
+of the experiment and as a harness template with honest chained-fetch
+timing.
+
 The 128-candidate sphere sweep is ~40% of the fused kernel's device time
 (benchmarks/PROFILE.md). This harness times isolated Pallas kernels that run
 REPEATS sweeps over one (32,128) lane block each, comparing:

@@ -127,7 +127,8 @@ class RenderConfig:
     # compaction boundary); requires a stateless sampler. Ignored by the xla
     # oracle backend and by non-pathtracing AOVs (no bounce machinery).
     wavefront: bool = False
-    # Samples per stacked lane block inside the fused kernels: `spp_stack`
+    # Samples per stacked lane block inside the fused SPHERE kernel (the
+    # triangle kernel always sample-loops): `spp_stack`
     # samples are traced as one (spp_stack*tile_height, tile_width) block
     # instead of sequential sample-loop iterations. Identical per-lane math
     # (bit-exact under threefry, tested); purely a VPU-pipeline knob.

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 
 from l2n_tpu.maths.sampling import PI
