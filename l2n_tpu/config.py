@@ -92,7 +92,10 @@ class RenderConfig:
     # Shading model. "procedural" = the reference's hashed-albedo Lambert
     # (glsl:215-222,292-300); "microfacet" = GGX/Smith specular over a
     # Lambert base with per-object procedural roughness (the reference's
-    # TODO.md:5 wishlist item), importance-sampled as a two-lobe mixture.
+    # TODO.md:5 wishlist item), importance-sampled as a two-lobe mixture;
+    # "disney" = the wishlist's named principled model (lite: Burley
+    # diffuse + sheen + colored-Fresnel GGX with per-object procedural
+    # metallic/specular/sheen channels; maths/brdf.py).
     material_mode: str = "procedural"
 
     # Ray generation: "fovy" = the GPU kernel's inverse-view + tan(fovy/2)
@@ -217,7 +220,7 @@ class RenderConfig:
                 "the compaction boundary")
         if self.mis and not self.nee:
             raise ValueError("mis requires nee")
-        if self.material_mode not in ("procedural", "microfacet"):
+        if self.material_mode not in ("procedural", "microfacet", "disney"):
             raise ValueError(f"unknown material_mode {self.material_mode!r}")
         if self.aov not in ("pathtracing", "normal", "ambient_occlusion",
                             "hit", "tex_coords", "param_uv"):

@@ -90,6 +90,144 @@ def eval_brdf(nx, ny, nz, wox, woy, woz, wix, wiy, wiz,
             jnp.where(ok, f_b, zero), jnp.where(ok, pdf, zero))
 
 
+# ---------------------------------------------------------------------------
+# Disney "principled" BSDF (lite) — the reference wishlist's named model
+# (/root/reference/TODO.md:5 "disney bsdf"). Implemented lobes: Burley
+# retro-reflective diffuse, sheen, and a GGX specular with COLORED Fresnel
+# (F0 = lerp(0.08*specular, baseColor, metallic)); metallic kills the
+# diffuse/sheen terms. Clearcoat/anisotropy/subsurface are out of scope.
+# Sampling: metallic-weighted cosine/GGX mixture (unbiased single-sample
+# estimator, same structure as the microfacet mixture above).
+# ---------------------------------------------------------------------------
+
+def procedural_disney_params(index):
+    """Per-object (metallic, specular, sheen) from the reference's
+    fract(sin) hash family (channels 5-7 alongside the albedo's three,
+    glsl:215-222, and roughness's fourth). Metallic is thresholded so the
+    scene reads as a mix of dielectrics and a few clear metals rather
+    than uniformly half-metal mush."""
+    f32 = jnp.float32
+    f = (index + 1).astype(jnp.float32)
+
+    def hash_ch(k):
+        v = jnp.sin(f * f32(k)) * f32(43758.5453)
+        return v - jnp.floor(v)
+
+    raw_metal = hash_ch(57.731)
+    metallic = jnp.where(raw_metal > 0.75,
+                         jnp.minimum((raw_metal - f32(0.75)) * f32(8.0),
+                                     f32(1.0)),
+                         f32(0.0))
+    specular = hash_ch(23.147)            # in [0, 1]; F0 = 0.08 * specular
+    sheen = hash_ch(11.519)
+    return metallic, specular, sheen
+
+
+def _schlick5(x):
+    one_m = jnp.maximum(jnp.float32(1.0) - x, jnp.float32(0.0))
+    m2 = one_m * one_m
+    return m2 * m2 * one_m
+
+
+def eval_disney(nx, ny, nz, wox, woy, woz, wix, wiy, wiz,
+                base_r, base_g, base_b, roughness, metallic, specular,
+                sheen):
+    """(f_r, f_g, f_b, pdf) of the Disney-lite BSDF for given directions.
+    pdf is the metallic-weighted cosine/GGX sampling mixture's pdf."""
+    f32 = jnp.float32
+    alpha = roughness * roughness
+    alpha2 = alpha * alpha
+    n_v = jnp.maximum(dot3(nx, ny, nz, wox, woy, woz), f32(1e-6))
+    n_l = jnp.maximum(dot3(nx, ny, nz, wix, wiy, wiz), f32(0.0))
+    hx, hy, hz = normalize3(wox + wix, woy + wiy, woz + wiz)
+    n_h = jnp.maximum(dot3(nx, ny, nz, hx, hy, hz), f32(0.0))
+    v_h = jnp.maximum(dot3(wox, woy, woz, hx, hy, hz), f32(1e-6))
+
+    # Specular: GGX * Smith with per-channel Schlick Fresnel from
+    # F0 = lerp(0.08 * specular, baseColor, metallic).
+    d = _d_ggx(n_h, alpha2)
+    vis = _g_smith(n_v, n_l, alpha2)
+    s5 = _schlick5(v_h)
+    f0_d = f32(0.08) * specular
+    f0_r = f0_d + (base_r - f0_d) * metallic
+    f0_g = f0_d + (base_g - f0_d) * metallic
+    f0_b = f0_d + (base_b - f0_d) * metallic
+    dv = d * vis
+    spec_r = dv * (f0_r + (f32(1.0) - f0_r) * s5)
+    spec_g = dv * (f0_g + (f32(1.0) - f0_g) * s5)
+    spec_b = dv * (f0_b + (f32(1.0) - f0_b) * s5)
+
+    # Burley diffuse: retro-reflection boost at grazing via FD90.
+    fd90 = f32(0.5) + f32(2.0) * roughness * v_h * v_h
+    fl = f32(1.0) + (fd90 - f32(1.0)) * _schlick5(n_l)
+    fv = f32(1.0) + (fd90 - f32(1.0)) * _schlick5(n_v)
+    kdiff = f32(1.0 / PI) * fl * fv * (f32(1.0) - metallic)
+
+    # Sheen: grazing-angle white lobe, dielectric only.
+    fsheen = sheen * _schlick5(v_h) * (f32(1.0) - metallic)
+
+    f_r = base_r * kdiff + fsheen + spec_r
+    f_g = base_g * kdiff + fsheen + spec_g
+    f_b = base_b * kdiff + fsheen + spec_b
+
+    p_spec = f32(0.25) + f32(0.5) * metallic
+    pdf_cos = n_l * f32(1.0 / PI)
+    pdf_ggx = d * n_h / jnp.maximum(f32(4.0) * v_h, f32(1e-6))
+    pdf = p_spec * pdf_ggx + (f32(1.0) - p_spec) * pdf_cos
+    ok = n_l > 0.0
+    zero = f32(0.0)
+    return (jnp.where(ok, f_r, zero), jnp.where(ok, f_g, zero),
+            jnp.where(ok, f_b, zero), jnp.where(ok, pdf, zero))
+
+
+def sample_disney(u_lobe, u1, u2, nx, ny, nz, tangent, bitangent,
+                  wox, woy, woz, base_r, base_g, base_b, roughness,
+                  metallic, specular, sheen):
+    """Sample the metallic-weighted cosine/GGX mixture; returns
+    (wix, wiy, wiz, w_r, w_g, w_b, pdf) with w = f * cos / pdf."""
+    from l2n_tpu.maths.sampling import (
+        cosine_sample_hemisphere,
+        local_to_world,
+    )
+    f32 = jnp.float32
+    alpha = roughness * roughness
+    alpha2 = alpha * alpha
+
+    (cx, cy, cz), _ = cosine_sample_hemisphere(u1, u2)
+    ax, ay, az = local_to_world(cx, cy, cz, tangent, bitangent, (nx, ny, nz))
+
+    cos_h = jnp.sqrt(jnp.maximum(
+        (f32(1.0) - u1) / jnp.maximum(f32(1.0) + (alpha2 - 1.0) * u1,
+                                      f32(1e-12)), f32(0.0)))
+    sin_h = jnp.sqrt(jnp.maximum(f32(1.0) - cos_h * cos_h, f32(0.0)))
+    phi = f32(2.0 * PI) * u2
+    hx, hy, hz = local_to_world(sin_h * jnp.cos(phi), sin_h * jnp.sin(phi),
+                                cos_h, tangent, bitangent, (nx, ny, nz))
+    v_h = dot3(wox, woy, woz, hx, hy, hz)
+    bx = f32(2.0) * v_h * hx - wox
+    by = f32(2.0) * v_h * hy - woy
+    bz = f32(2.0) * v_h * hz - woz
+
+    p_spec = f32(0.25) + f32(0.5) * metallic
+    pick_spec = u_lobe < p_spec
+    wix = jnp.where(pick_spec, bx, ax)
+    wiy = jnp.where(pick_spec, by, ay)
+    wiz = jnp.where(pick_spec, bz, az)
+    wix, wiy, wiz = normalize3(wix, wiy, wiz)
+
+    f_r, f_g, f_b, pdf = eval_disney(
+        nx, ny, nz, wox, woy, woz, wix, wiy, wiz,
+        base_r, base_g, base_b, roughness, metallic, specular, sheen)
+    n_l = jnp.maximum(dot3(nx, ny, nz, wix, wiy, wiz), f32(0.0))
+    scale = n_l / jnp.maximum(pdf, f32(1e-12))
+    ok = pdf > 0.0
+    zero = f32(0.0)
+    return (wix, wiy, wiz,
+            jnp.where(ok, f_r * scale, zero),
+            jnp.where(ok, f_g * scale, zero),
+            jnp.where(ok, f_b * scale, zero), pdf)
+
+
 def sample_brdf(u_lobe, u1, u2, nx, ny, nz, tangent, bitangent,
                 wox, woy, woz, kd_r, kd_g, kd_b, roughness):
     """Sample one direction from the 50/50 cosine/GGX mixture.

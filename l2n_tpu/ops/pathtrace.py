@@ -196,11 +196,14 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
     hz = boz + cur_t * bdz
     kd_r, kd_g, kd_b = procedural_color(index)
     brdf_eval = None
-    if cfg.material_mode == "microfacet":
+    if cfg.material_mode in ("microfacet", "disney"):
         from l2n_tpu.maths.brdf import (
             eval_brdf,
+            eval_disney,
+            procedural_disney_params,
             procedural_roughness,
             sample_brdf,
+            sample_disney,
         )
         nhx, nhy, nhz = normalize3(nx, ny, nz)
         tangent, bitangent = frame_z(nhx, nhy, nhz)
@@ -208,19 +211,35 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
         wox, woy, woz = -bdx, -bdy, -bdz
         u1, u2 = sampler.draw2(mask=diffuse)
         u_lobe = sampler.draw1(mask=diffuse)
-        (wdx, wdy, wdz, w_r, w_g, w_b, pdf_b) = sample_brdf(
-            u_lobe, u1, u2, nhx, nhy, nhz, tangent, bitangent,
-            wox, woy, woz, kd_r, kd_g, kd_b, rough)
+        if cfg.material_mode == "disney":
+            metal, spec, sheen = procedural_disney_params(index)
+            (wdx, wdy, wdz, w_r, w_g, w_b, pdf_b) = sample_disney(
+                u_lobe, u1, u2, nhx, nhy, nhz, tangent, bitangent,
+                wox, woy, woz, kd_r, kd_g, kd_b, rough, metal, spec, sheen)
+            if use_nee:
+                def brdf_eval(lx, ly, lz, _n=(nhx, nhy, nhz),
+                              _wo=(wox, woy, woz),
+                              _kd=(kd_r, kd_g, kd_b), _ro=rough,
+                              _ds=(metal, spec, sheen)):
+                    return eval_disney(_n[0], _n[1], _n[2],
+                                       _wo[0], _wo[1], _wo[2],
+                                       lx, ly, lz,
+                                       _kd[0], _kd[1], _kd[2], _ro,
+                                       _ds[0], _ds[1], _ds[2])
+        else:
+            (wdx, wdy, wdz, w_r, w_g, w_b, pdf_b) = sample_brdf(
+                u_lobe, u1, u2, nhx, nhy, nhz, tangent, bitangent,
+                wox, woy, woz, kd_r, kd_g, kd_b, rough)
+            if use_nee:
+                def brdf_eval(lx, ly, lz, _n=(nhx, nhy, nhz),
+                              _wo=(wox, woy, woz),
+                              _kd=(kd_r, kd_g, kd_b), _ro=rough):
+                    return eval_brdf(_n[0], _n[1], _n[2],
+                                     _wo[0], _wo[1], _wo[2],
+                                     lx, ly, lz,
+                                     _kd[0], _kd[1], _kd[2], _ro)
         if use_mis:
             prev_pdf = jnp.where(diffuse, pdf_b, prev_pdf)
-        if use_nee:
-            def brdf_eval(lx, ly, lz, _n=(nhx, nhy, nhz),
-                          _wo=(wox, woy, woz),
-                          _kd=(kd_r, kd_g, kd_b), _ro=rough):
-                return eval_brdf(_n[0], _n[1], _n[2],
-                                 _wo[0], _wo[1], _wo[2],
-                                 lx, ly, lz,
-                                 _kd[0], _kd[1], _kd[2], _ro)
     else:
         tangent, bitangent = frame_z(nx, ny, nz)
         u1, u2 = sampler.draw2(mask=diffuse)

@@ -159,4 +159,156 @@ class TestRenderIntegration:
 
     def test_config_validation(self):
         with pytest.raises(ValueError):
-            RenderConfig(material_mode="disney").validate()
+            RenderConfig(material_mode="phong").validate()
+        RenderConfig(material_mode="disney").validate()
+
+
+def _mc_albedo_disney(roughness, metallic, specular=0.5, sheen=0.0,
+                      base=1.0, n=200_000, cos_view=0.7, seed=0):
+    from l2n_tpu.maths.brdf import sample_disney
+    rng = np.random.default_rng(seed)
+    u_lobe = jnp.asarray(rng.random(n, np.float32))
+    u1 = jnp.asarray(rng.random(n, np.float32))
+    u2 = jnp.asarray(rng.random(n, np.float32))
+    z = jnp.zeros(n, jnp.float32)
+    one = jnp.ones(n, jnp.float32)
+    tangent, bitangent = frame_z(z, z, one)
+    s = float(np.sqrt(1.0 - cos_view ** 2))
+    wox = jnp.full(n, s, jnp.float32)
+    woz = jnp.full(n, cos_view, jnp.float32)
+    k = jnp.full(n, base, jnp.float32)
+    args = [jnp.full(n, v, jnp.float32)
+            for v in (roughness, metallic, specular, sheen)]
+    _, _, _, w_r, _, _, _ = sample_disney(
+        u_lobe, u1, u2, z, z, one, tangent, bitangent,
+        wox, z, woz, k, k, k, *args)
+    return float(np.asarray(w_r).mean())
+
+
+class TestDisney:
+    """Disney principled (lite) — the wishlist's named model
+    (/root/reference/TODO.md:5 'disney bsdf')."""
+
+    @pytest.mark.parametrize("metal", [0.0, 1.0])
+    @pytest.mark.parametrize("rough", [0.15, 0.5, 1.0])
+    def test_white_albedo_bounded(self, rough, metal):
+        # Burley diffuse can slightly exceed 1 at grazing; the bound stays
+        # near-physical. Metals lose single-scatter energy with roughness.
+        a = _mc_albedo_disney(rough, metal)
+        assert 0.3 < a < 1.15, a
+
+    def test_metallic_kills_diffuse(self):
+        """A black-specular metal with dark base reflects almost nothing;
+        the same base as a dielectric keeps its diffuse."""
+        metal_dark = _mc_albedo_disney(0.5, metallic=1.0, base=0.02)
+        dielectric_dark = _mc_albedo_disney(0.5, metallic=0.0, base=0.02)
+        assert metal_dark < 0.1
+        assert dielectric_dark > metal_dark
+
+    def test_sheen_adds_energy_at_grazing(self):
+        lo = _mc_albedo_disney(0.5, 0.0, sheen=0.0, base=0.3, cos_view=0.15)
+        hi = _mc_albedo_disney(0.5, 0.0, sheen=1.0, base=0.3, cos_view=0.15)
+        assert hi > lo
+
+    def test_eval_matches_sample_weight(self):
+        from l2n_tpu.maths.brdf import eval_disney, sample_disney
+        rng = np.random.default_rng(2)
+        n = 4096
+        u = [jnp.asarray(rng.random(n, np.float32)) for _ in range(3)]
+        z = jnp.zeros(n, jnp.float32)
+        one = jnp.ones(n, jnp.float32)
+        tangent, bitangent = frame_z(z, z, one)
+        wox = jnp.full(n, 0.6, jnp.float32)
+        woz = jnp.full(n, 0.8, jnp.float32)
+        k = jnp.full(n, 0.5, jnp.float32)
+        pars = [jnp.full(n, v, jnp.float32) for v in (0.3, 0.4, 0.6, 0.5)]
+        wix, wiy, wiz, w_r, _, _, pdf = sample_disney(
+            u[0], u[1], u[2], z, z, one, tangent, bitangent,
+            wox, z, woz, k, k, k, *pars)
+        f_r, _, _, pdf2 = eval_disney(z, z, one, wox, z, woz, wix, wiy, wiz,
+                                      k, k, k, *pars)
+        np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf2),
+                                   rtol=1e-4)
+        want = np.asarray(f_r) * np.maximum(np.asarray(wiz), 0) / np.maximum(
+            np.asarray(pdf), 1e-12)
+        mask = np.asarray(pdf) > 1e-6
+        np.testing.assert_allclose(np.asarray(w_r)[mask], want[mask],
+                                   rtol=1e-3)
+
+    def test_eval_reciprocal(self):
+        """f(wo, wi) == f(wi, wo) for every implemented lobe."""
+        from l2n_tpu.maths.brdf import eval_disney
+        rng = np.random.default_rng(3)
+        n = 2048
+        z = jnp.zeros(n, jnp.float32)
+        one = jnp.ones(n, jnp.float32)
+
+        def rand_dir():
+            v = rng.normal(size=(3, n)).astype(np.float32)
+            v[2] = np.abs(v[2]) + 0.05
+            v /= np.linalg.norm(v, axis=0, keepdims=True)
+            return [jnp.asarray(c) for c in v]
+
+        wo = rand_dir()
+        wi = rand_dir()
+        k = jnp.full(n, 0.7, jnp.float32)
+        pars = [jnp.full(n, v, jnp.float32) for v in (0.4, 0.3, 0.5, 0.8)]
+        f1 = eval_disney(z, z, one, *wo, *wi, k, k, k, *pars)[0]
+        f2 = eval_disney(z, z, one, *wi, *wo, k, k, k, *pars)[0]
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-4)
+
+    def test_procedural_params(self):
+        from l2n_tpu.maths.brdf import procedural_disney_params
+        m, s, sh = (np.asarray(x)
+                    for x in procedural_disney_params(jnp.arange(128)))
+        assert ((m >= 0) & (m <= 1)).all()
+        assert ((s >= 0) & (s <= 1)).all()
+        assert ((sh >= 0) & (sh <= 1)).all()
+        # A minority of objects are metals; most are pure dielectrics.
+        assert 0.05 < (m > 0).mean() < 0.5
+
+    def test_sphere_kernel_parity_disney(self):
+        cfg = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=16, tiles_per_step=2,
+                           material_mode="disney").validate()
+        t = TestRenderIntegration()
+        a = t._render("xla", cfg)
+        b = t._render("pallas", cfg)
+        d = np.abs(a - b)
+        assert np.sqrt((d ** 2).mean()) < 5e-3
+        assert (d > 1e-3).mean() < 2e-3
+
+    def test_nee_consistency_disney(self):
+        """NEE + MIS with the Disney eval agree with the BSDF-only
+        estimator on an emissive-sphere scene."""
+        import tests.test_nee as tn
+        from l2n_tpu.ops.nee import make_sphere_light_sampler
+        from l2n_tpu.ops.pathtrace import trace_path
+        from l2n_tpu.ops.scenes import sphere_intersector
+        from l2n_tpu.rng.sampler import ThreefrySampler, max_pairs_per_sample
+
+        def run(nee, bounces, n, mis=False):
+            scene = tn.make_scene()
+            isect = sphere_intersector(scene)
+            cx, cy, cz, r2 = (scene.center_x, scene.center_y,
+                              scene.center_z, scene.sqr_radius)
+            ls = make_sphere_light_sampler(
+                scene.count, 16, lambda i: (cx[i], cy[i], cz[i], r2[i]))
+            cfg = RenderConfig(width=8, height=8, env_mode="none",
+                               max_bounces=bounces, nee=nee, mis=mis,
+                               material_mode="disney").validate()
+            pix = jnp.arange(n, dtype=jnp.uint32)
+            z = jnp.zeros(n, jnp.float32)
+            sampler = ThreefrySampler(0, 0, pix, jnp.zeros(n, jnp.uint32),
+                                      max_pairs_per_sample(bounces, nee))
+            r, _, _ = trace_path(cfg, isect, sampler, z, z,
+                                 jnp.full(n, 3.0, jnp.float32), z, z,
+                                 jnp.full(n, -1.0, jnp.float32),
+                                 light_sampler=ls if nee else None)
+            return float(np.asarray(r).mean())
+
+        ref = run(nee=False, bounces=6, n=300_000)
+        nee = run(nee=True, bounces=2, n=150_000)
+        mis = run(nee=True, bounces=2, n=150_000, mis=True)
+        assert nee == pytest.approx(ref, rel=0.1)
+        assert mis == pytest.approx(ref, rel=0.1)
