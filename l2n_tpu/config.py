@@ -98,6 +98,19 @@ class RenderConfig:
     # metallic/specular/sheen channels; maths/brdf.py).
     material_mode: str = "procedural"
 
+    # Homogeneous participating medium (reference wishlist TODO.md:16
+    # "volumetrics"), rendered by unbiased collision (distance) sampling:
+    # each path segment draws t_fog ~ Exp(fog_density); a collision before
+    # the surface scatters isotropically with throughput *= fog_albedo.
+    # The environment sits at a finite fog_sky_distance (0 = auto,
+    # 4 * world_size) — with an infinite homogeneous medium the sky would
+    # be unreachable. 0 density = off, bit-identical to no-fog tracing
+    # (the fog draws are gated at trace time). Requires a stateless
+    # sampler; NEE/MIS and the wavefront split don't support media.
+    fog_density: float = 0.0      # sigma_t per world unit
+    fog_albedo: float = 0.9       # sigma_s / sigma_t (scatter fraction)
+    fog_sky_distance: float = 0.0  # 0 = auto (4 * world_size)
+
     # Ray generation: "fovy" = the GPU kernel's inverse-view + tan(fovy/2)
     # trick (sphere_pathtracing.cs.glsl:378-384); "viewproj" = the CPU
     # renderer's full inverse view-projection (src/main.cpp:562-567).
@@ -227,6 +240,18 @@ class RenderConfig:
             raise ValueError(f"unknown aov {self.aov!r}")
         if self.spp_stack < 1:
             raise ValueError("spp_stack must be >= 1")
+        if self.fog_density < 0.0 or not (0.0 <= self.fog_albedo <= 1.0):
+            raise ValueError("fog_density must be >= 0 and fog_albedo in "
+                             "[0, 1]")
+        if self.fog_density > 0.0:
+            if self.rng not in ("threefry", "tpu_hw"):
+                raise ValueError("fog requires a stateless sampler "
+                                 "(threefry or tpu_hw)")
+            if self.nee:
+                raise ValueError("fog + nee is unsupported (shadow rays "
+                                 "would need transmittance estimation)")
+            if self.wavefront:
+                raise ValueError("fog + wavefront is unsupported")
         return self
 
     # JSON round-trip ----------------------------------------------------------

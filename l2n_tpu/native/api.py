@@ -88,6 +88,10 @@ class NativeRenderer:
         self.spheres = _f32(self.spheres).reshape(-1, 4)
         self.tiles = np.ascontiguousarray(self.tiles, np.int32)
         cfg = self.cfg
+        if getattr(cfg, "fog_density", 0.0) > 0.0:
+            raise ValueError("the native renderer does not implement fog "
+                             "(its threefry stream layout has no "
+                             "collision-distance draws)")
         from l2n_tpu.rng.sampler import max_pairs_per_sample
         self._c = _CConfig(
             width=cfg.width, height=cfg.height,
@@ -174,6 +178,10 @@ class NativeTriangleRenderer:
             np.concatenate([base, dnb, dnc], axis=1), np.float32)
         self.mesh_ids = np.ascontiguousarray(soup["mesh_id"], np.int32)
         cfg = self.cfg
+        if getattr(cfg, "fog_density", 0.0) > 0.0:
+            raise ValueError("the native renderer does not implement fog "
+                             "(its threefry stream layout has no "
+                             "collision-distance draws)")
         from l2n_tpu.rng.sampler import max_pairs_per_sample
         self._c = _CConfig(
             width=cfg.width, height=cfg.height,

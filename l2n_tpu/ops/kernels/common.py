@@ -85,7 +85,8 @@ def make_kernel_sampler(cfg, pixel_index, sample_index, rng_in_ref,
     if cfg.rng == "threefry":
         sampler = ThreefrySampler(cfg.seed, stream, pixel_index, sample_index,
                                   max_pairs_per_sample(cfg.max_bounces,
-                                                       cfg.nee))
+                                                       cfg.nee,
+                                                       cfg.fog_density > 0))
         return sampler, lambda: None
     if cfg.rng == "tpu_hw":
         if interpret_mode():

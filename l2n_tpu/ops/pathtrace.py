@@ -145,6 +145,29 @@ def _emit_term(cfg, emis_r2):
                                       * jnp.maximum(emis_r2, f32(1e-20)))
 
 
+def _fog_sigma(cfg):
+    return float(cfg.fog_density)
+
+
+def _fog_sky(cfg):
+    return float(cfg.fog_sky_distance or 4.0 * cfg.world_size)
+
+
+def _fog_collision(cfg, sampler, mask, hit_t):
+    """Collision (distance) sampling for the homogeneous medium: draw
+    t_fog ~ Exp(fog_density) and compare against the segment's surface hit
+    (or the finite sky distance on a miss). Returns (medium, t_fog):
+    medium lanes scatter in the volume before reaching anything. The draw
+    happens in lockstep on every call so the counter-based stream layout
+    is static; `mask` tags the lanes that semantically consume it."""
+    f32 = jnp.float32
+    u = sampler.draw1(mask=mask)
+    # u in (0, 1) open-open: log(u) is finite; t_fog in (0, inf).
+    t_fog = -jnp.log(u) * f32(1.0 / _fog_sigma(cfg))
+    t_lim = jnp.where(hit_t >= 0.0, hit_t, f32(_fog_sky(cfg)))
+    return mask & (t_fog < t_lim), t_fog
+
+
 def _resolve_vertex(cfg, light_sampler, use_nee, use_mis, dist,
                     bdx, bdy, bdz, cur_t, nx, ny, nz, index, emis_r2,
                     bound_r2, tp_r, tp_g, tp_b, col_r, col_g, col_b,
@@ -181,12 +204,18 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
                           use_mis, b, box, boy, boz, bdx, bdy, bdz, cur_t,
                           nx, ny, nz, index, diffuse, tp_r, tp_g, tp_b,
                           col_r, col_g, col_b, prev_pdf, emission_ok,
-                          stats=None):
+                          stats=None, medium=None):
     """The per-vertex block shared by the single-pass tracer and the
     wavefront split: BSDF sample (procedural Lambert, glsl:292-300, or the
     microfacet wishlist lobe), optional NEE, throughput update, Russian
     roulette (glsl:302-309), continuation-ray origin (far-parked for dead
     lanes so downstream bound tests NaN-poison, see trace_path).
+
+    `medium` marks lanes whose vertex is a FOG COLLISION rather than a
+    surface (cfg.fog_density > 0; the caller merged t_fog into cur_t and a
+    non-emissive sentinel into index): they scatter isotropically from the
+    same two hemisphere draws and their weight is fog_albedo instead of
+    the surface BSDF.
 
     Returns (box, boy, boz, bdx, bdy, bdz, tp_r, tp_g, tp_b, col_r, col_g,
     col_b, prev_pdf, emission_ok, survive, cast_ox, cast_oy, cast_oz)."""
@@ -253,6 +282,21 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
             # local cos theta); approximate under the reference's
             # unnormalized frame, which only redistributes MIS weight.
             prev_pdf = jnp.where(diffuse, lz * f32(1.0 / PI), prev_pdf)
+
+    if medium is not None:
+        # Isotropic phase function from the same (u1, u2): z uniform in
+        # (-1, 1), azimuth 2*pi*u2; collision estimator weight = single-
+        # scattering albedo (sigma_s / sigma_t).
+        mz = f32(1.0) - f32(2.0) * u1
+        ms = jnp.sqrt(jnp.maximum(f32(1.0) - mz * mz, f32(0.0)))
+        mphi = f32(2.0 * PI) * u2
+        wdx = jnp.where(medium, ms * jnp.cos(mphi), wdx)
+        wdy = jnp.where(medium, ms * jnp.sin(mphi), wdy)
+        wdz = jnp.where(medium, mz, wdz)
+        alb = f32(cfg.fog_albedo)
+        w_r = jnp.where(medium, alb, w_r)
+        w_g = jnp.where(medium, alb, w_g)
+        w_b = jnp.where(medium, alb, w_b)
 
     if use_nee:
         # Direct light sampling at this diffuse vertex (uses the
@@ -387,15 +431,29 @@ def _finish_path(cfg, intersect, sampler, start_b, entered, pending, dist,
         if hit_any is None:
             hit_any = intersect(cast_ox, cast_oy, cast_oz,
                                 bdx, bdy, bdz).t >= 0.0
+        if cfg.fog_density > 0.0:
+            fmed, _ = _fog_collision(
+                cfg, sampler, pending,
+                jnp.where(hit_any, f32(0.0), f32(-1.0)))
+            hit_any = hit_any | fmed
         dist = jnp.where(pending,
                          jnp.where(hit_any, f32(1.0), f32(-1.0)), dist)
         return env_add(col_r, col_g, col_b, dist, bdx, bdy, bdz, le=le)
 
+    fog = cfg.fog_density > 0.0
     new = intersect(cast_ox, cast_oy, cast_oz, bdx, bdy, bdz)
-    dist = jnp.where(pending, new.t, dist)
     box, boy, boz = cast_ox, cast_oy, cast_oz
     cur_t, nx, ny, nz = new.t, new.nx, new.ny, new.nz
     index, emis_r2, bound_r2 = new.index, new.emis_r2, _hit_bound_r2(new)
+    if fog:
+        medium, t_fog = _fog_collision(cfg, sampler, pending, new.t)
+        cur_t = jnp.where(medium, t_fog, cur_t)
+        # Non-emissive sentinel: a fog collision is never a light.
+        index = jnp.where(medium, jnp.int32(1), index)
+        dist = jnp.where(pending, jnp.where(medium, t_fog, new.t), dist)
+    else:
+        medium = None
+        dist = jnp.where(pending, new.t, dist)
     final_le = None
 
     for b in range(start_b, cfg.max_bounces):
@@ -412,21 +470,37 @@ def _finish_path(cfg, intersect, sampler, start_b, entered, pending, dist,
             cfg, intersect, sampler, light_sampler, use_nee, use_mis,
             b, box, boy, boz, bdx, bdy, bdz, cur_t, nx, ny, nz, index,
             diffuse, tp_r, tp_g, tp_b, col_r, col_g, col_b, prev_pdf,
-            emission_ok, stats=stats)
+            emission_ok, stats=stats, medium=medium)
         dist = jnp.where(diffuse & ~survive, f32(-2.0), dist)
         has_anyhit = intersect_anyhit is not None or (
             intersect_anyhit_env is not None and cfg.env_mode != "none")
         if b + 1 == cfg.max_bounces and has_anyhit:
             hit_any, final_le = final_anyhit(cast_ox, cast_oy, cast_oz,
                                              bdx, bdy, bdz)
+            if fog:
+                # A fog collision on the FINAL segment truncates the path
+                # (like the reference's length cap); the sky needs both a
+                # surface miss and a collision-free flight to the sky
+                # shell.
+                fmed, t_fog = _fog_collision(
+                    cfg, sampler, survive,
+                    jnp.where(hit_any, f32(0.0), f32(-1.0)))
+                hit_any = hit_any | fmed
             dist = jnp.where(survive,
                              jnp.where(hit_any, f32(1.0), f32(-1.0)), dist)
         else:
             new = intersect(cast_ox, cast_oy, cast_oz, bdx, bdy, bdz)
-            dist = jnp.where(survive, new.t, dist)
             cur_t, nx, ny, nz = new.t, new.nx, new.ny, new.nz
             index, emis_r2 = new.index, new.emis_r2
             bound_r2 = _hit_bound_r2(new)
+            if fog:
+                medium, t_fog = _fog_collision(cfg, sampler, survive, new.t)
+                cur_t = jnp.where(medium, t_fog, cur_t)
+                index = jnp.where(medium, jnp.int32(1), index)
+                dist = jnp.where(survive,
+                                 jnp.where(medium, t_fog, new.t), dist)
+            else:
+                dist = jnp.where(survive, new.t, dist)
 
     return env_add(col_r, col_g, col_b, dist, bdx, bdy, bdz, le=final_le)
 
@@ -479,10 +553,21 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
     # stays -1), so one evaluation on the final directions covers both
     # cases bit-exactly while halving the dominant Mandelbrot cost
     # (measured ~2.6 ms of a 7.1 ms step when evaluated at two sites).
-    p_active = hit.t >= 0.0
+    fog = cfg.fog_density > 0.0
+    p_cur_t, p_index = hit.t, hit.index
+    if fog:
+        everyone = jnp.ones(shape, bool)
+        p_medium, p_tfog = _fog_collision(cfg, sampler, everyone, hit.t)
+        p_cur_t = jnp.where(p_medium, p_tfog, hit.t)
+        p_index = jnp.where(p_medium, jnp.int32(1), hit.index)
+    else:
+        p_medium = None
+    p_active = (hit.t >= 0.0) if not fog else ((hit.t >= 0.0) & ~p_medium)
     p_emissive = p_active & (hit.index % cfg.emissive_every == 0)
-    p_diffuse = p_active & ~p_emissive
-    p_miss = hit.t == f32(-1.0)
+    p_diffuse = (p_active & ~p_emissive) if not fog else (
+        (p_active & ~p_emissive) | p_medium)
+    p_miss = (hit.t == f32(-1.0)) if not fog else (
+        (hit.t == f32(-1.0)) & ~p_medium)
     base = jnp.where(p_emissive, _emit_term(cfg, hit.emis_r2), f32(0.0))
     col_r = col_g = col_b = base
 
@@ -510,9 +595,10 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
          col_r, col_g, col_b, prev_pdf, emission_ok, survive,
          cast_ox, cast_oy, cast_oz) = _scatter_and_roulette(
             cfg, intersect, sampler, light_sampler, use_nee, use_mis,
-            0, ox, oy, oz, dx, dy, dz, hit.t, hit.nx, hit.ny, hit.nz,
-            hit.index, p_diffuse, ones, ones, ones, col_r, col_g, col_b,
-            ones, jnp.ones(shape, jnp.int32), stats=stats)
+            0, ox, oy, oz, dx, dy, dz, p_cur_t, hit.nx, hit.ny, hit.nz,
+            p_index, p_diffuse, ones, ones, ones, col_r, col_g, col_b,
+            ones, jnp.ones(shape, jnp.int32), stats=stats,
+            medium=p_medium)
         dist = jnp.where(p_diffuse & ~survive, f32(-2.0), dist)
         # entered = p_diffuse | p_miss: the env site inside _finish_path
         # covers primary misses too (their dist stays -1, throughput 1,

@@ -54,7 +54,8 @@ def make_sampler(cfg: RenderConfig, state: FrameState, pixel_index,
     if cfg.rng == "threefry":
         inner = ThreefrySampler(cfg.seed, stream, pixel_index, sample_index,
                                 max_pairs_per_sample(cfg.max_bounces,
-                                                     cfg.nee))
+                                                     cfg.nee,
+                                                     cfg.fog_density > 0))
     elif cfg.rng == "tinymt":
         words = tuple(state.rng_state[i] for i in range(7))
         inner = TinyMTSampler(words[:4], words[4:7])

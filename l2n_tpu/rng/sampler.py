@@ -172,9 +172,13 @@ class MaskedSampler:
         return self._inner.final_state()
 
 
-def max_pairs_per_sample(max_bounces: int, nee: bool = False) -> int:
+def max_pairs_per_sample(max_bounces: int, nee: bool = False,
+                         fog: bool = False) -> int:
     """Static threefry draw budget: 1 pair of pixel jitter + per bounce one
     hemisphere pair and one RR pair (the RR draw wastes its sibling), with
     one spare pair for AOV modes (ambient occlusion). NEE adds a light pick
-    plus a surface-point pair per bounce."""
-    return 2 + (4 if nee else 2) * max_bounces
+    plus a surface-point pair per bounce; fog adds one collision-distance
+    draw per path segment (max_bounces + 1 of them, budgeted one pair
+    each)."""
+    return (2 + (4 if nee else 2) * max_bounces
+            + (max_bounces + 1 if fog else 0))

@@ -1,0 +1,156 @@
+"""Homogeneous-fog volumetrics (reference wishlist TODO.md 'volumetrics').
+
+Collision (distance) sampling: each segment draws t ~ Exp(sigma_t); a
+collision before the surface scatters isotropically with throughput *=
+fog_albedo. Unbiasedness shows up as exact Beer-Lambert attenuation in
+expectation, which is what these tests pin down.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from l2n_tpu.camera import Camera
+from l2n_tpu.config import RenderConfig
+from l2n_tpu.render.program import SphereProgram
+from l2n_tpu.render.state import init_frame_state
+from l2n_tpu.rng.sampler import ThreefrySampler, max_pairs_per_sample
+
+
+def trace_rays(cfg, scene, n, seed_stream=0):
+    from l2n_tpu.ops.pathtrace import trace_path
+    from l2n_tpu.ops.scenes import sphere_intersector
+    isect = sphere_intersector(scene)
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    z = jnp.zeros(n, jnp.float32)
+    sampler = ThreefrySampler(cfg.seed, seed_stream, pix,
+                              jnp.zeros(n, jnp.uint32),
+                              max_pairs_per_sample(cfg.max_bounces, cfg.nee,
+                                                   cfg.fog_density > 0))
+    r, g, b = trace_path(cfg, isect, sampler, z, z,
+                         jnp.full(n, 10.0, jnp.float32),
+                         z, z, jnp.full(n, -1.0, jnp.float32))
+    return np.asarray(r)
+
+
+def emissive_scene(distance, radius):
+    """One emissive sphere (index 0 => emissive_every hits it) straight
+    down -z at `distance` from the origin."""
+    from l2n_tpu.scene import SphereScene
+    return SphereScene(
+        center_x=jnp.asarray([0.0], jnp.float32),
+        center_y=jnp.asarray([0.0], jnp.float32),
+        center_z=jnp.asarray([-float(distance)], jnp.float32),
+        sqr_radius=jnp.asarray([float(radius) ** 2], jnp.float32))
+
+
+class TestBeerLambert:
+    @pytest.mark.parametrize("sigma", [0.002, 0.01])
+    def test_absorbing_fog_attenuates_exponentially(self, sigma):
+        """Pure absorption (albedo 0): the emissive sphere's observed
+        radiance is L * exp(-sigma * t_hit) in expectation."""
+        dist, rad = 300.0, 80.0
+        scene = emissive_scene(dist, rad)
+        base = RenderConfig(width=8, height=8, env_mode="none",
+                            max_bounces=2, world_size=1024.0)
+        n = 400_000
+        clear = trace_rays(base.validate(), scene, n).mean()
+        foggy = trace_rays(base.replace(fog_density=sigma,
+                                        fog_albedo=0.0).validate(),
+                           scene, n).mean()
+        t_hit = (dist + 10.0) - rad  # ray origin at z=10 toward -z
+        want = clear * np.exp(-sigma * t_hit)
+        assert foggy == pytest.approx(want, rel=0.02), (foggy, want)
+
+    def test_scattering_fog_keeps_more_energy(self):
+        """With albedo 1 the medium redistributes instead of absorbing:
+        radiance must exceed the absorbing case (and stay below clear)."""
+        scene = emissive_scene(300.0, 80.0)
+        base = RenderConfig(width=8, height=8, env_mode="none",
+                            max_bounces=4, world_size=1024.0)
+        n = 300_000
+        clear = trace_rays(base.validate(), scene, n).mean()
+        absorb = trace_rays(base.replace(fog_density=0.004,
+                                         fog_albedo=0.0).validate(),
+                            scene, n).mean()
+        scatter = trace_rays(base.replace(fog_density=0.004,
+                                          fog_albedo=1.0).validate(),
+                             scene, n).mean()
+        assert absorb < scatter < clear * 1.05
+
+    def test_sky_attenuates_too(self):
+        """Environment light is only reached by collision-free flights to
+        the sky shell: E[sky] = sky * exp(-sigma * R_sky)."""
+        from l2n_tpu.scene import compute_spheres
+        scene = emissive_scene(1e7, 1.0)  # effectively empty scene
+        sigma, r_sky = 0.001, 1500.0
+        base = RenderConfig(width=8, height=8, env_mode="sun",
+                            max_bounces=2, world_size=1024.0)
+        n = 400_000
+        clear = trace_rays(base.validate(), scene, n).mean()
+        foggy = trace_rays(base.replace(fog_density=sigma, fog_albedo=0.0,
+                                        fog_sky_distance=r_sky).validate(),
+                           scene, n).mean()
+        assert foggy == pytest.approx(clear * np.exp(-sigma * r_sky),
+                                      rel=0.05)
+
+
+class TestParity:
+    def test_fog_off_is_bit_identical(self):
+        """fog_density=0 must not change a single bit (the fog draws are
+        gated at trace time, so the RNG stream layout is untouched)."""
+        from l2n_tpu.scene import compute_spheres
+        cfg = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=16,
+                           tiles_per_step=2).validate()
+        cfg2 = cfg.replace(fog_albedo=0.33)  # density 0: albedo is inert
+        outs = []
+        for c in (cfg, cfg2):
+            prog = SphereProgram(c, backend="pallas")
+            st = init_frame_state(c)
+            cam = Camera.from_config(c).packed()
+            for _ in range(2):
+                st = prog.step(st, cam)
+            outs.append(np.asarray(st.accum))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    @pytest.mark.parametrize("mb", [1, 2])
+    def test_kernel_matches_oracle_with_fog(self, mb):
+        cfg = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=16, tiles_per_step=2,
+                           max_bounces=mb, fog_density=0.002,
+                           fog_albedo=0.8).validate()
+        states = []
+        for backend in ("xla", "pallas"):
+            prog = SphereProgram(cfg, backend=backend)
+            st = init_frame_state(cfg)
+            cam = Camera.from_config(cfg).packed()
+            for _ in range(2):
+                st = prog.step(st, cam)
+            states.append(st)
+        so, sp = states
+        np.testing.assert_array_equal(np.asarray(so.accum[3]),
+                                      np.asarray(sp.accum[3]))
+        a, b = np.asarray(so.accum), np.asarray(sp.accum)
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-3
+        diff = np.abs(np.asarray(so.output) - np.asarray(sp.output))
+        assert (diff > 1e-3).mean() < 1e-3
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="stateless"):
+            RenderConfig(fog_density=0.1, rng="tinymt").validate()
+        with pytest.raises(ValueError, match="nee"):
+            RenderConfig(fog_density=0.1, nee=True).validate()
+        with pytest.raises(ValueError, match="wavefront"):
+            RenderConfig(fog_density=0.1, wavefront=True).validate()
+        with pytest.raises(ValueError):
+            RenderConfig(fog_density=-1.0).validate()
+        with pytest.raises(ValueError):
+            RenderConfig(fog_albedo=1.5).validate()
+        with pytest.raises(ValueError, match="fog"):
+            from l2n_tpu.native.api import NativeRenderer
+            from l2n_tpu.render.tiles import tile_grid
+            from l2n_tpu.scene import compute_spheres
+            cfg = RenderConfig(fog_density=0.1).validate()
+            NativeRenderer(cfg, compute_spheres(4, 256.0, 0).as_numpy(),
+                           np.asarray(tile_grid(cfg)))
