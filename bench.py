@@ -52,6 +52,8 @@ def measure_mean_segments(cfg, scene, camera) -> float:
 
 
 def main() -> None:
+    from l2n_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()  # warm starts: kernels compile in minutes cold
     import jax
     from l2n_tpu.camera import Camera
     from l2n_tpu.config import RenderConfig
@@ -159,12 +161,20 @@ def main() -> None:
         tri_state = init_frame_state(tri_cfg)
         tri_state = tri.step(tri_state, camera.packed())
         tri_state.output.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(5):
-            tri_state = tri.step(tri_state, camera.packed())
-        tri_state.output.block_until_ready()
-        triangle_ms = (time.perf_counter() - t0) / 5 * 1e3 \
-            / tri_cfg.spp_per_step
+
+        def tri_seq(n):
+            nonlocal tri_state
+            t0 = time.perf_counter()
+            for _ in range(n):
+                tri_state = tri.step(tri_state, camera.packed())
+            tri_state.output.block_until_ready()
+            return time.perf_counter() - t0
+
+        # Marginal (steady-state) like the headline metric.
+        dt_tri = min((tri_seq(16) - tri_seq(2)) / 14 for _ in range(2))
+        triangle_ms = dt_tri * 1e3 * (cfg.width * cfg.height) / (
+            tri_cfg.effective_tiles_per_step * tri_cfg.tile_height
+            * tri_cfg.tile_width * tri_cfg.spp_per_step)
         log(f"triangle scene: {triangle_ms:.1f} ms per full-frame spp")
 
     log(f"{dt * 1e3:.2f} ms/step, {samples_per_sec / 1e6:.1f} Msamples/s, "

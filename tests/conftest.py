@@ -26,6 +26,12 @@ import jax  # noqa: E402
 if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: interpret-mode kernel traces still pay real
+# XLA:CPU compiles; caching them across runs shaves minutes off the suite.
+from l2n_tpu.utils.compile_cache import enable as _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
