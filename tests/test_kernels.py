@@ -328,6 +328,22 @@ class TestStepsPerCall:
         np.testing.assert_array_equal(np.asarray(single.accum),
                                       np.asarray(st.accum))
 
+    def test_fused_equals_sequential_stateful(self):
+        """steps_per_call must also chain the per-pixel RNG state planes
+        through the fori_loop (tinymt parity mode)."""
+        cfg = CFG.replace(rng="tinymt", skip_empty_tiles=False)
+        single = run_steps("pallas", cfg, n=4)
+        prog = SphereProgram(cfg, backend="pallas", steps_per_call=2)
+        cam = Camera.from_config(prog.cfg).packed()
+        st = init_frame_state(prog.cfg)
+        for _ in range(2):
+            st = prog.step(st, cam)
+        assert int(st.iteration) == 4
+        np.testing.assert_array_equal(np.asarray(single.rng_state),
+                                      np.asarray(st.rng_state))
+        np.testing.assert_array_equal(np.asarray(single.accum),
+                                      np.asarray(st.accum))
+
 
 class TestUVDemo:
     def test_pattern(self):

@@ -76,6 +76,17 @@ class TestShardedStep:
         got = np.asarray(r.state.output)[:, touched]
         np.testing.assert_allclose(got, expect, atol=1e-5)
 
+    def test_fog_config_shards(self):
+        """The volumetric tracer runs under the sharded step (fog flows
+        through cfg into the shared trace_path)."""
+        cfg = CFG.replace(fog_density=0.003, fog_albedo=0.8).validate()
+        r = make_renderer(2, 2, cfg)
+        cam = Camera.from_config(cfg)
+        r.step(cam)
+        counts = np.asarray(r.state.accum)[:, 3]
+        assert counts.sum() == 2 * 2 * 32 * 128
+        assert np.isfinite(np.asarray(r.state.output)).all()
+
     def test_tile_sharding_decorrelated_streams(self):
         """Different slabs and sample replicas draw different randoms."""
         r = make_renderer(4, 2)
