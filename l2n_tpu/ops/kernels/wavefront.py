@@ -146,7 +146,16 @@ def _pass_a_kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, *refs):
                                  lambda k: vis_ref[tid, 1 + k], n_vis,
                                  ox, oy, oz, dx, dy, dz)
     else:
-        intersect_primary = intersect
+        # The camera is not covered by the disjointness argument (it can sit
+        # inside a sphere, where the reference returns the t2 exit root) —
+        # the un-culled primary keeps the full sweep with assume_outside
+        # off, mirroring the single-pass kernel (sphere_pt.py).
+        def intersect_primary(ox, oy, oz, dx, dy, dz) -> Hit:
+            t, px, py, pz, nx, ny, nz, idx, br2 = intersect_sphere_scene(
+                ox, oy, oz, dx, dy, dz, n_spheres, fetch,
+                unroll=sphere_unroll, assume_outside=False)
+            return Hit(t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
+                       index=idx, emis_r2=br2)
 
     for s in range(cfg.spp_per_step):
         sampler, _ = make_kernel_sampler(
@@ -209,8 +218,12 @@ def _pass_b_kernel(cfg, n_spheres, sphere_unroll, next_pair, has_spare,
                 max_pairs_per_sample(cfg.max_bounces, cfg.nee),
                 next_pair, has_spare)
         else:  # tpu_hw — fresh hardware stream, decorrelated from pass A
-            seed_tpu_hw(cfg, jnp.int32(0x5B17), stream
-                        ^ jnp.uint32(0x40000000))
+            # Mix the step's minimum sample index (scalar-prefetched) into
+            # the seed: without it a static camera re-drew the identical
+            # pass-B sequence every accumulation step, correlating bounce/RR
+            # draws across samples (ADVICE r2).
+            seed_tpu_hw(cfg, jnp.int32(0x5B17) + nalive_ref[1],
+                        stream ^ jnp.uint32(0x40000000))
             sampler = TpuHwSampler(block_shape)
 
         (cox, coy, coz, bdx, bdy, bdz, tpr, tpg, tpb) = (
@@ -394,7 +407,11 @@ def build_sphere_wavefront_step(cfg, scene, tile_array,
         inv = jnp.zeros((n_lanes,), i32).at[perm].set(iota,
                                                       unique_indices=True)
         comp = raysf[:, inv].reshape(n_planes, nb, bh, bw)
-        args = [n_alive, camera, cx, cy, cz, r2, comp]
+        # Scalar block for pass B: [alive count, min sample index] — the
+        # second entry varies per accumulation step and decorrelates the
+        # tpu_hw seed across steps (see _pass_b_kernel).
+        b_scalars = jnp.concatenate([n_alive, samp.min()[None]])
+        args = [b_scalars, camera, cx, cy, cz, r2, comp]
         if threefry:
             meta = outs[2].reshape(2, n_lanes)
             args.append(meta[:, inv].reshape(2, nb, bh, bw))

@@ -176,6 +176,12 @@ def nee_cone_contribution(cfg, sampler, intersect, u_pick, u1, u2,
                    hy + f32(cfg.ray_epsilon) * ly,
                    hz + f32(cfg.ray_epsilon) * lz, lx, ly, lz)
     lit = (sh.t >= 0.0) & (sh.index == light_idx)
+    transmit = None
+    if cfg.fog_density > 0.0:
+        # Homogeneous medium: the shadow segment's transmittance is the
+        # analytic Beer-Lambert factor over the traced distance to the
+        # light (no collision sampling needed on shadow rays).
+        transmit = jnp.exp(f32(-cfg.fog_density) * jnp.maximum(sh.t, f32(0.0)))
 
     nhx, nhy, nhz = normalize3(nx, ny, nz)
     cos_s = jnp.maximum(nhx * lx + nhy * ly + nhz * lz, f32(0.0))
@@ -193,6 +199,8 @@ def nee_cone_contribution(cfg, sampler, intersect, u_pick, u1, u2,
         p_nee = f32(1.0) / jnp.maximum(f32(sampler.n_lights) * omega,
                                        f32(1e-20))
         w = w * p_nee / jnp.maximum(p_nee + p_bsdf, f32(1e-20))
+    if transmit is not None:
+        w = w * transmit
     w = jnp.where(lit, w, f32(0.0))
     return tp_r * f_r * w, tp_g * f_g * w, tp_b * f_b * w
 
@@ -274,5 +282,10 @@ def nee_contribution(cfg, n_lights: int, intersect, light: LightSample,
         area = f32(4.0 * PI) * jnp.maximum(light.r2, f32(1e-20))
         p_nee = d2 / jnp.maximum(area * cos_l * f32(n_lights), f32(1e-20))
         scale = scale * p_nee / jnp.maximum(p_nee + p_bsdf, f32(1e-20))
+    if cfg.fog_density > 0.0:
+        # Homogeneous medium: analytic Beer-Lambert transmittance over the
+        # vertex -> light-point distance (fog never blocks a shadow ray
+        # stochastically; the exponential factor is exact).
+        scale = scale * jnp.exp(f32(-cfg.fog_density) * dist)
     w = jnp.where(visible, scale, f32(0.0))
     return (tp_r * f_r * w, tp_g * f_g * w, tp_b * f_b * w)

@@ -95,6 +95,99 @@ class TestBeerLambert:
                                       rel=0.05)
 
 
+class TestFogNee:
+    """fog + nee: shadow rays carry the analytic exp(-sigma*d) factor
+    (VERDICT r2 item 4; homogeneous transmittance is exact, no estimation)."""
+
+    def test_shadow_transmittance_is_analytic(self):
+        """nee_contribution under fog equals the fog-free contribution
+        times exp(-sigma * dist-to-light-point), lane for lane."""
+        from l2n_tpu.ops.nee import LightSample, nee_contribution
+        from l2n_tpu.ops.scenes import sphere_intersector
+
+        sigma = 0.004
+        light_c = np.array([50.0, 200.0, -40.0], np.float32)
+        light_r = 20.0
+        scene = SphereSceneFromArrays([light_c], [light_r])
+        isect = sphere_intersector(scene)
+        n = 64
+        rng = np.random.default_rng(7)
+        hx = jnp.asarray(rng.uniform(-100, 100, n), jnp.float32)
+        hy = jnp.zeros(n, jnp.float32)
+        hz = jnp.asarray(rng.uniform(-100, 100, n), jnp.float32)
+        nx = jnp.zeros(n, jnp.float32)
+        ny = jnp.ones(n, jnp.float32)
+        nz = jnp.zeros(n, jnp.float32)
+        # A fixed (deterministic) sampled point on the light surface.
+        w = np.array([0.3, 0.5, np.sqrt(1 - 0.09 - 0.25)], np.float32)
+        point = light_c + light_r * w
+        ones = jnp.ones(n, jnp.float32)
+        light = LightSample(
+            px=ones * point[0], py=ones * point[1], pz=ones * point[2],
+            nx=ones * w[0], ny=ones * w[1], nz=ones * w[2],
+            index=jnp.zeros(n, jnp.int32),
+            r2=ones * jnp.float32(light_r ** 2))
+        kd = ones * 0.7
+        base = RenderConfig(width=8, height=8, env_mode="none")
+        args = (1, isect, light, hx, hy, hz, nx, ny, nz,
+                kd, kd, kd, ones, ones, ones)
+        clear = np.asarray(nee_contribution(base.validate(), *args)[0])
+        foggy = np.asarray(nee_contribution(
+            base.replace(fog_density=sigma, nee=True).validate(), *args)[0])
+        d = np.sqrt(((point[None, :] - np.stack(
+            [np.asarray(hx), np.asarray(hy), np.asarray(hz)], 1)) ** 2
+        ).sum(1))
+        np.testing.assert_allclose(foggy, clear * np.exp(-sigma * d),
+                                   rtol=1e-5)
+
+    def test_nee_agrees_with_bsdf_only_under_fog(self):
+        """fog+nee and fog-without-nee estimate the same transport: the
+        means must agree (statistically) on a diffuse-floor + big-light
+        scene inside a scattering medium."""
+        light_r, floor_dist = 120.0, 300.0
+        scene = SphereSceneFromArrays(
+            [[0.0, 500.0, -floor_dist], [0.0, 0.0, -floor_dist - 1e4]],
+            [light_r, 1e4 - 100.0])  # index 0 emissive, 1 = giant floor
+        base = RenderConfig(width=8, height=8, env_mode="none",
+                            max_bounces=3, fog_density=0.0008,
+                            fog_albedo=0.7, world_size=1024.0)
+        n = 400_000
+        plain = trace_rays(base.validate(), scene, n).mean()
+        withnee = trace_rays(base.replace(nee=True).validate(),
+                             scene, n).mean()
+        assert withnee == pytest.approx(plain, rel=0.05), (withnee, plain)
+
+    def test_kernel_matches_oracle_with_fog_nee(self):
+        cfg = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=16, tiles_per_step=2,
+                           max_bounces=2, fog_density=0.002, fog_albedo=0.8,
+                           nee=True).validate()
+        states = []
+        for backend in ("xla", "pallas"):
+            prog = SphereProgram(cfg, backend=backend)
+            st = init_frame_state(cfg)
+            cam = Camera.from_config(cfg).packed()
+            for _ in range(2):
+                st = prog.step(st, cam)
+            states.append(st)
+        so, sp = states
+        a, b = np.asarray(so.accum), np.asarray(sp.accum)
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-3
+        diff = np.abs(np.asarray(so.output) - np.asarray(sp.output))
+        assert (diff > 1e-3).mean() < 1e-3
+
+
+def SphereSceneFromArrays(centers, radii):
+    from l2n_tpu.scene import SphereScene
+    centers = np.atleast_2d(np.asarray(centers, np.float32))
+    radii = np.asarray(radii, np.float32).reshape(-1)
+    return SphereScene(
+        center_x=jnp.asarray(centers[:, 0]),
+        center_y=jnp.asarray(centers[:, 1]),
+        center_z=jnp.asarray(centers[:, 2]),
+        sqr_radius=jnp.asarray(radii ** 2))
+
+
 class TestParity:
     def test_fog_off_is_bit_identical(self):
         """fog_density=0 must not change a single bit (the fog draws are
@@ -139,8 +232,13 @@ class TestParity:
     def test_validation(self):
         with pytest.raises(ValueError, match="stateless"):
             RenderConfig(fog_density=0.1, rng="tinymt").validate()
-        with pytest.raises(ValueError, match="nee"):
-            RenderConfig(fog_density=0.1, nee=True).validate()
+        # fog + nee is supported (analytic shadow transmittance); only the
+        # mis combination is rejected.
+        RenderConfig(fog_density=0.1, nee=True).validate()
+        with pytest.raises(ValueError, match="mis"):
+            RenderConfig(fog_density=0.1, nee=True, mis=True).validate()
+        with pytest.raises(ValueError, match="emissive_every"):
+            RenderConfig(fog_density=0.1, emissive_every=1).validate()
         with pytest.raises(ValueError, match="wavefront"):
             RenderConfig(fog_density=0.1, wavefront=True).validate()
         with pytest.raises(ValueError):
