@@ -98,6 +98,20 @@ class RenderConfig:
     # metallic/specular/sheen channels; maths/brdf.py).
     material_mode: str = "procedural"
 
+    # Normal mapping (the third item of the reference's wishlist materials
+    # line, TODO.md:5 "Better materials (microfacet, disney bsdf, normal
+    # mapping)"). A world-space procedural bump field perturbs the SHADING
+    # normal before any BSDF/NEE evaluation:
+    #   g  = A * (cos(f*px), cos(f*py), cos(f*pz))   (grad of a sine height field)
+    #   n' = normalize(n - (g - (g.n) n))            (Blinn bump, world-space)
+    # A = normal_map * per-object hash amplitude (the same fract(sin) family
+    # as the reference's albedo, glsl:215-222); f = normal_map_freq. Being
+    # world-space it covers spheres and arbitrary OBJ meshes with one
+    # formula (no UV parametrization), and composes with every
+    # material_mode. 0 = off, bit-identical to the unmapped tracer.
+    normal_map: float = 0.0        # global bump strength (0 disables)
+    normal_map_freq: float = 0.35  # bump field wavenumber (world units^-1)
+
     # Homogeneous participating medium (reference wishlist TODO.md:16
     # "volumetrics"), rendered by unbiased collision (distance) sampling:
     # each path segment draws t_fog ~ Exp(fog_density); a collision before
@@ -240,6 +254,9 @@ class RenderConfig:
             raise ValueError(f"unknown aov {self.aov!r}")
         if self.spp_stack < 1:
             raise ValueError("spp_stack must be >= 1")
+        if self.normal_map < 0.0 or self.normal_map_freq <= 0.0:
+            raise ValueError("normal_map must be >= 0 and normal_map_freq "
+                             "> 0")
         if self.fog_density < 0.0 or not (0.0 <= self.fog_albedo <= 1.0):
             raise ValueError("fog_density must be >= 0 and fog_albedo in "
                              "[0, 1]")
@@ -247,9 +264,17 @@ class RenderConfig:
             if self.rng not in ("threefry", "tpu_hw"):
                 raise ValueError("fog requires a stateless sampler "
                                  "(threefry or tpu_hw)")
-            if self.nee:
-                raise ValueError("fog + nee is unsupported (shadow rays "
-                                 "would need transmittance estimation)")
+            if self.nee and self.mis:
+                raise ValueError(
+                    "fog + nee + mis is unsupported: the balance-heuristic "
+                    "weights would need transmittance folded into both "
+                    "strategies' pdfs; fog + nee (without mis) applies the "
+                    "analytic shadow-ray transmittance exp(-sigma*d)")
+            if self.emissive_every <= 1:
+                raise ValueError(
+                    "fog requires emissive_every > 1: fog collisions mark "
+                    "their vertex non-emissive via the index sentinel 1, "
+                    "which must not be an emissive index")
             if self.wavefront:
                 raise ValueError("fog + wavefront is unsupported")
         return self

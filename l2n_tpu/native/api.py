@@ -35,6 +35,8 @@ class _CConfig(ctypes.Structure):
         ("ray_gen", ctypes.c_int32),
         ("aov", ctypes.c_int32),
         ("nee", ctypes.c_int32),
+        ("normal_map", ctypes.c_float),
+        ("normal_map_freq", ctypes.c_float),
     ]
 
 
@@ -111,6 +113,8 @@ class NativeRenderer:
             ray_gen=_RAY_GEN[cfg.ray_gen],
             aov=_AOVS.get(cfg.aov, 0),
             nee=int(cfg.nee),
+            normal_map=getattr(cfg, "normal_map", 0.0),
+            normal_map_freq=getattr(cfg, "normal_map_freq", 0.35),
         )
 
     def render_tiles(self, accum: np.ndarray, output: np.ndarray,
@@ -201,10 +205,18 @@ class NativeTriangleRenderer:
             ray_gen=_RAY_GEN[cfg.ray_gen],
             aov=_AOVS.get(cfg.aov, 0),
             nee=int(cfg.nee),
+            normal_map=getattr(cfg, "normal_map", 0.0),
+            normal_map_freq=getattr(cfg, "normal_map_freq", 0.35),
         )
+        # Cone NEE (ops/nee.py) needs the per-mesh bounding spheres; use
+        # the same packing as the kernels so the three implementations
+        # sample identical cones.
         if cfg.nee:
-            raise NotImplementedError(
-                "the native triangle renderer does not mirror cone NEE")
+            from l2n_tpu.ops.kernels.triangle_pt import pack_mesh_blocks
+            _, bounds, _, _, _ = pack_mesh_blocks(self.scene)
+            self.mesh_bounds = np.ascontiguousarray(bounds, np.float32)
+        else:
+            self.mesh_bounds = None
 
     def render_tiles(self, accum: np.ndarray, output: np.ndarray,
                      camera_packed: np.ndarray, offset: int, count: int,
@@ -231,7 +243,11 @@ class NativeTriangleRenderer:
             ctypes.c_int32(offset), ctypes.c_int32(count),
             accum_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            rng_ptr, ctypes.c_int32(self.num_threads))
+            rng_ptr, ctypes.c_int32(self.num_threads),
+            (self.mesh_bounds.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float))
+             if self.mesh_bounds is not None else None),
+            ctypes.c_int32(int(self.scene.mesh_count)))
         if rc != 0:
             raise RuntimeError(f"native triangle render failed: {rc}")
         accum[...] = accum_c

@@ -287,7 +287,27 @@ struct Config {
   int32_t ray_gen;  // 0 fovy, 1 viewproj
   int32_t aov;      // 0 pathtracing, 1 normal, 2 hit
   int32_t nee;      // next event estimation (threefry only)
+  float normal_map;       // procedural bump strength (0 = off)
+  float normal_map_freq;  // bump field wavenumber
 };
+
+// Procedural normal mapping (wishlist TODO.md:5) — the C++ twin of
+// l2n_tpu/maths/bump.py: world-space sine height field, per-object
+// amplitude from the albedo's fract(sin) hash family, Blinn bump
+//   n' = normalize(n - (g - (g.n) n)),  g = A (cos f*px, cos f*py, cos f*pz).
+inline V3 bump_normal(const Config& cfg, int32_t index, V3 p, V3 n) {
+  n = normalize(n);
+  float f = static_cast<float>(index + 1);
+  float v = std::sin(f * 91.173f) * 43758.5453f;
+  float amp = cfg.normal_map * (0.25f + 0.75f * (v - std::floor(v)));
+  V3 g{amp * std::cos(cfg.normal_map_freq * p.x),
+       amp * std::cos(cfg.normal_map_freq * p.y),
+       amp * std::cos(cfg.normal_map_freq * p.z)};
+  float gn = dot(g, n);
+  return normalize(
+      V3{n.x - (g.x - gn * n.x), n.y - (g.y - gn * n.y),
+         n.z - (g.z - gn * n.z)});
+}
 
 struct Hit {
   float t;  // -1 miss
@@ -344,9 +364,10 @@ V3 trace_path(const Config& cfg, const float* spheres, int n, V3 org, V3 dir,
       dist = -2.0f;
       break;
     }
+    org = org + h.t * dir;
+    if (cfg.normal_map > 0.0f) h.n = bump_normal(cfg, h.index, org, h.n);
     V3 t, b;
     frame_z(h.n, &t, &b);
-    org = org + h.t * dir;
     float u1, u2;
     rng->draw2(&u1, &u2);
     V3 l = cosine_hemisphere(u1, u2);
@@ -476,27 +497,87 @@ struct SphereSceneView {
 
 // trace_path for scenes without the sphere NEE path (triangle scenes; the
 // sphere variant with NEE keeps its own function above). Same structure as
-// the GPU kernels (glsl:250-299).
+// the GPU kernels (glsl:250-299). With cfg.nee, `bounds` carries the
+// per-mesh bounding spheres (4 floats each) and direct light uses CONE
+// (solid-angle) sampling over the picked emissive mesh's bound — the C++
+// twin of l2n_tpu.ops.nee.nee_cone_contribution with the identical
+// threefry draw order (hemisphere pair, pick, point pair, RR spare).
 template <class SceneT>
 V3 trace_path_generic(const Config& cfg, const SceneT& scene, V3 org, V3 dir,
-                      Sampler* rng) {
+                      Sampler* rng, const float* bounds = nullptr,
+                      int32_t mesh_count = 0) {
+  const bool nee = cfg.nee && bounds != nullptr;
+  const int n_lights =
+      nee ? (mesh_count + cfg.emissive_every - 1) / cfg.emissive_every : 0;
   V3 tp{1, 1, 1}, col{0, 0, 0};
+  bool emission_ok = true;
   Hit h = scene.intersect(org, dir);
   float dist = h.t;
   for (int bounce = 0; bounce < cfg.max_bounces && dist >= 0.0f; ++bounce) {
     if (h.index % cfg.emissive_every == 0) {
-      float e = cfg.emission_scale / (4.0f * kPi * h.r2);
-      col = col + V3{e * tp.x, e * tp.y, e * tp.z};
+      if (!nee || emission_ok) {
+        float e = cfg.emission_scale / (4.0f * kPi * h.r2);
+        col = col + V3{e * tp.x, e * tp.y, e * tp.z};
+      }
       dist = -2.0f;
       break;
     }
+    org = org + h.t * dir;
+    if (cfg.normal_map > 0.0f) h.n = bump_normal(cfg, h.index, org, h.n);
     V3 t, b;
     frame_z(h.n, &t, &b);
-    org = org + h.t * dir;
     float u1, u2;
     rng->draw2(&u1, &u2);
     V3 l = cosine_hemisphere(u1, u2);
     V3 kd = albedo_of(h.index);
+
+    if (nee) {
+      float u_pick = rng->draw1();
+      float ul1, ul2;
+      rng->draw2(&ul1, &ul2);
+      int pick = static_cast<int>(u_pick * n_lights);
+      if (pick >= n_lights) pick = n_lights - 1;
+      int li = pick * cfg.emissive_every;
+      V3 c{bounds[4 * li], bounds[4 * li + 1], bounds[4 * li + 2]};
+      float br2 = bounds[4 * li + 3];
+      V3 w = c - org;
+      float d2 = dot(w, w);
+      // Omega = 2 pi (1 - cos_max); the full sphere when inside the bound
+      // (ops/nee.py cone_solid_angle).
+      float cos_max;
+      if (d2 <= br2) {
+        cos_max = -1.0f;
+      } else {
+        float v = 1.0f - br2 / (d2 > 1e-20f ? d2 : 1e-20f);
+        cos_max = std::sqrt(v > 0.0f ? v : 0.0f);
+      }
+      float omega = 2.0f * kPi * (1.0f - cos_max);
+      V3 axis = normalize(w);
+      float cos_t = 1.0f - ul1 * (1.0f - cos_max);
+      float st2 = 1.0f - cos_t * cos_t;
+      float sin_t = std::sqrt(st2 > 0.0f ? st2 : 0.0f);
+      float phi = 2.0f * kPi * ul2;
+      V3 ta, ba;
+      frame_z(axis, &ta, &ba);
+      float lx = sin_t * std::cos(phi), ly = sin_t * std::sin(phi);
+      V3 ldir{ta.x * lx + ba.x * ly + axis.x * cos_t,
+              ta.y * lx + ba.y * ly + axis.y * cos_t,
+              ta.z * lx + ba.z * ly + axis.z * cos_t};
+      Hit sh = scene.intersect(org + cfg.ray_epsilon * ldir, ldir);
+      if (sh.t >= 0.0f && sh.index == li) {
+        V3 nn = normalize(h.n);
+        float cos_s = dot(nn, ldir);
+        if (cos_s < 0.0f) cos_s = 0.0f;
+        // Le = scale/(4 pi * 1): meshes emit with sqrRadius = 1
+        // (triangle_pathtracing.cs.glsl:268); f = kd / pi.
+        float wgt = cos_s * (cfg.emission_scale / (4.0f * kPi)) *
+                    static_cast<float>(n_lights) * omega / kPi;
+        col = col + V3{tp.x * kd.x * wgt, tp.y * kd.y * wgt,
+                       tp.z * kd.z * wgt};
+      }
+      emission_ok = false;
+    }
+
     dir = normalize(V3{t.x * l.x + b.x * l.y + h.n.x * l.z,
                        t.y * l.x + b.y * l.y + h.n.y * l.z,
                        t.z * l.x + b.z * l.y + h.n.z * l.z});
@@ -526,7 +607,9 @@ int32_t render_tiles_impl(const Config* cfg, const SceneT& scene,
                           int32_t tile_count, int32_t offset, int32_t count,
                           float* accum, float* output, uint32_t* rng_state,
                           int32_t num_threads, const float* nee_spheres,
-                          int32_t nee_sphere_count) {
+                          int32_t nee_sphere_count,
+                          const float* mesh_bounds = nullptr,
+                          int32_t mesh_count = 0) {
   const int W = cfg->buf_width, H = cfg->buf_height;
   const int64_t plane = static_cast<int64_t>(W) * H;
   const V3 cam_pos{camera[4 * 8 + 0], camera[4 * 8 + 1], camera[4 * 8 + 2]};
@@ -595,6 +678,8 @@ int32_t render_tiles_impl(const Config* cfg, const SceneT& scene,
           V3 color;
           if (cfg->aov == 1) {  // normal AOV
             Hit h = scene.intersect(cam_pos, dir);
+            if (h.t >= 0.0f && cfg->normal_map > 0.0f)
+              h.n = bump_normal(*cfg, h.index, cam_pos + h.t * dir, h.n);
             color = h.t >= 0.0f ? h.n : scene.normal_miss();
           } else if (cfg->aov == 2) {  // hit AOV
             Hit h = scene.intersect(cam_pos, dir);
@@ -605,7 +690,8 @@ int32_t render_tiles_impl(const Config* cfg, const SceneT& scene,
             color = trace_path(*cfg, nee_spheres, nee_sphere_count, cam_pos,
                                dir, &rng);
           } else {
-            color = trace_path_generic(*cfg, scene, cam_pos, dir, &rng);
+            color = trace_path_generic(*cfg, scene, cam_pos, dir, &rng,
+                                       mesh_bounds, mesh_count);
           }
 
           // newEstimate = current + (color, 1); out = pow(rgb/n, gamma)
@@ -684,18 +770,20 @@ int32_t l2n_render_tiles(const Config* cfg, const float* spheres,
 // Triangle-scene renderer (the reference's CPU renderer is sphere-only,
 // src/main.cpp:206-599 — this goes beyond it so the framework has three
 // independent implementations for BOTH scene families). Triangle layout:
-// see TriSceneView.
+// see TriSceneView. mesh_bounds: (mesh_count, 4) [cx cy cz r^2] bounding
+// spheres feeding cone NEE when cfg->nee (may be null when !cfg->nee).
 int32_t l2n_render_tiles_tri(const Config* cfg, const float* tris,
                              const int32_t* mesh_ids, int32_t tri_count,
                              const float* camera, const int32_t* tiles,
                              int32_t tile_count, int32_t offset,
                              int32_t count, float* accum, float* output,
-                             uint32_t* rng_state, int32_t num_threads) {
-  if (cfg->nee) return 2;  // cone NEE is not mirrored natively (yet)
+                             uint32_t* rng_state, int32_t num_threads,
+                             const float* mesh_bounds, int32_t mesh_count) {
+  if (cfg->nee && mesh_bounds == nullptr) return 2;
   TriSceneView scene{tris, mesh_ids, tri_count};
   return render_tiles_impl(cfg, scene, camera, tiles, tile_count, offset,
                            count, accum, output, rng_state, num_threads,
-                           nullptr, 0);
+                           nullptr, 0, mesh_bounds, mesh_count);
 }
 
 }  // extern "C"

@@ -224,6 +224,14 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
     hy = boy + cur_t * bdy
     hz = boz + cur_t * bdz
     kd_r, kd_g, kd_b = procedural_color(index)
+    if cfg.normal_map > 0.0:
+        # Normal mapping (wishlist TODO.md:5): perturb the SHADING normal
+        # before any BSDF frame / NEE cosine sees it. One insertion point
+        # covers the oracle and every Pallas kernel (they all trace this
+        # block). Fog-collision lanes never read normals (their direction
+        # is overwritten by the phase-function draw below).
+        from l2n_tpu.maths.bump import perturb_normal
+        nx, ny, nz = perturb_normal(cfg, index, hx, hy, hz, nx, ny, nz)
     brdf_eval = None
     if cfg.material_mode in ("microfacet", "disney"):
         from l2n_tpu.maths.brdf import (
@@ -305,6 +313,14 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
         # never collect its emission (the loop truncates, mirroring the
         # reference's pathLength cap) — NEE keeps full weight there so no
         # energy is lost.
+        #
+        # FOG-COLLISION vertices take no NEE (their phase function is not
+        # the surface BSDF the estimators evaluate); they keep emission_ok
+        # so their scattered rays can still find lights by BSDF sampling —
+        # no double counting, no lost energy. Surface vertices under fog
+        # get the analytic exp(-sigma*d) shadow transmittance inside the
+        # contribution functions (nee.py).
+        surface = diffuse if medium is None else (diffuse & ~medium)
         mis_here = use_mis and (b + 1 < cfg.max_bounces)
         u_pick = sampler.draw1(mask=diffuse)
         ul1, ul2 = sampler.draw2(mask=diffuse)
@@ -323,11 +339,17 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
                 hx, hy, hz, nx, ny, nz, kd_r, kd_g, kd_b,
                 tp_r, tp_g, tp_b, mis=mis_here,
                 brdf_eval=brdf_eval)
-        col_r = jnp.where(diffuse, col_r + dr, col_r)
-        col_g = jnp.where(diffuse, col_g + dg, col_g)
-        col_b = jnp.where(diffuse, col_b + db, col_b)
+        col_r = jnp.where(surface, col_r + dr, col_r)
+        col_g = jnp.where(surface, col_g + dg, col_g)
+        col_b = jnp.where(surface, col_b + db, col_b)
         if not use_mis:
-            emission_ok = jnp.where(diffuse, 0, emission_ok)
+            emission_ok = jnp.where(surface, 0, emission_ok)
+            if medium is not None:
+                # A fog vertex did NOT do NEE, so its scattered ray must be
+                # allowed to collect emission even if an earlier surface
+                # vertex had closed it — otherwise surface->fog->light
+                # paths would be counted by neither strategy.
+                emission_ok = jnp.where(diffuse & medium, 1, emission_ok)
 
     box = jnp.where(diffuse, hx, box)
     boy = jnp.where(diffuse, hy, boy)
@@ -743,14 +765,23 @@ def wavefront_draw_position(cfg, intersect, light_sampler=None):
 # sphere_pathtracing.cs.glsl:386-389, triangle_pathtracing.cs.glsl:406-409)
 # ---------------------------------------------------------------------------
 
-def aov_normal(intersect, ox, oy, oz, dx, dy, dz, miss=(0.0, 0.0, 0.0)):
+def aov_normal(intersect, ox, oy, oz, dx, dy, dz, miss=(0.0, 0.0, 0.0),
+               cfg=None):
     """Shading normal or the miss color (sphere: black, glsl:342-351;
-    triangle: magenta, triangle_pathtracing.cs.glsl:328-341)."""
+    triangle: magenta, triangle_pathtracing.cs.glsl:328-341). With
+    cfg.normal_map > 0 the displayed normal carries the procedural bump
+    perturbation (the numeric surface the normal-mapping tests gate on)."""
     h = intersect(ox, oy, oz, dx, dy, dz)
     m = h.t >= 0.0
-    return (jnp.where(m, h.nx, jnp.float32(miss[0])),
-            jnp.where(m, h.ny, jnp.float32(miss[1])),
-            jnp.where(m, h.nz, jnp.float32(miss[2])))
+    nx, ny, nz = h.nx, h.ny, h.nz
+    if cfg is not None and cfg.normal_map > 0.0:
+        from l2n_tpu.maths.bump import perturb_normal
+        nx, ny, nz = perturb_normal(cfg, h.index, ox + h.t * dx,
+                                    oy + h.t * dy, oz + h.t * dz,
+                                    nx, ny, nz)
+    return (jnp.where(m, nx, jnp.float32(miss[0])),
+            jnp.where(m, ny, jnp.float32(miss[1])),
+            jnp.where(m, nz, jnp.float32(miss[2])))
 
 
 def aov_hit(intersect, ox, oy, oz, dx, dy, dz):
@@ -825,7 +856,8 @@ def shade(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
                           intersect_anyhit_env=intersect_anyhit_env,
                           light_sampler=light_sampler)
     if cfg.aov == "normal":
-        return aov_normal(primary, ox, oy, oz, dx, dy, dz, miss_color)
+        return aov_normal(primary, ox, oy, oz, dx, dy, dz, miss_color,
+                          cfg=cfg)
     if cfg.aov == "hit":
         return aov_hit(primary, ox, oy, oz, dx, dy, dz)
     if cfg.aov == "ambient_occlusion":

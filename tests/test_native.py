@@ -232,19 +232,43 @@ class TestNativeTriangleRenderer:
         assert (diff > 2e-5).mean() < 1e-3
         assert np.median(diff) == 0.0
 
-    def test_nee_rejected(self):
+    def test_nee_matches_oracle(self):
+        """Cone NEE three-way coverage (r2 VERDICT next item 8): native C++
+        vs the JAX oracle with identical threefry draw addressing over the
+        emissive meshes' bounding-sphere cones (ops/nee.py)."""
         if not native.available():
             pytest.skip("no C++ toolchain")
         from l2n_tpu.config import RenderConfig
         from l2n_tpu.native import NativeTriangleRenderer
+        from l2n_tpu.camera import Camera
+        from l2n_tpu.render.state import init_frame_state
         from l2n_tpu.render.tiles import tile_grid
         from l2n_tpu.scene import build_triangle_scene, compute_spheres
         cfg = RenderConfig(width=128, height=64, tile_width=128,
-                           tile_height=32, sphere_count=8, disc_lat=8,
-                           disc_long=4, tiles_per_step=1, nee=True,
+                           tile_height=32, sphere_count=16, disc_lat=8,
+                           disc_long=4, tiles_per_step=2, nee=True,
+                           env_mode="none",
                            scene_kind="triangle").validate()
         spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
                                   cfg.scene_seed)
         scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
-        with pytest.raises(NotImplementedError):
-            NativeTriangleRenderer(cfg, scene, tile_grid(cfg))
+        ja, _jo = self.run_oracle(cfg, scene)
+        nr = NativeTriangleRenderer(cfg, scene, tile_grid(cfg))
+        st = init_frame_state(cfg)
+        accum = np.asarray(st.accum).copy()
+        output = np.asarray(st.output).copy()
+        cam = Camera.from_config(cfg).packed()
+        k = cfg.effective_tiles_per_step
+        for i in range(2):
+            nr.render_tiles(accum, output, cam,
+                            offset=(i * k) % cfg.tile_count, count=k)
+        np.testing.assert_array_equal(accum[3], ja[3])
+        d = np.abs(accum - ja)
+        # Cone sampling constantly aims at the light bound's silhouette, so
+        # a handful of shadow rays land exactly on triangle-edge decisions
+        # where independent fp stacks (XLA vs scalar C++) can flip hit/miss
+        # — each flip carries one sample's full O(1) cone weight. Gate on
+        # the FLIP COUNT and the agreement of everything else, not RMSE.
+        assert np.median(d) == 0.0
+        assert (d > 1e-3).mean() < 2e-4      # near-universal agreement
+        assert (d > 0.05).mean() < 1.5e-4    # <= ~2 flipped pixels
