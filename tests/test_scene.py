@@ -174,3 +174,34 @@ f -4 -3 -2 -1
         p.write_text(self.CUBE)
         scene = load_obj(p)
         assert scene.total_triangles == 4
+
+
+class TestTorusField:
+    """Procedural OBJ benchmark scene (scene/procgen.py)."""
+
+    def test_deterministic_and_well_formed(self):
+        import numpy as np
+        from l2n_tpu.scene.obj import load_obj
+        from l2n_tpu.scene.procgen import torus_field_obj
+
+        text = torus_field_obj(n_tori=4, seg_u=8, seg_v=6)
+        assert text == torus_field_obj(n_tori=4, seg_u=8, seg_v=6)
+        scene = load_obj(text)
+        assert scene.mesh_count == 4
+        # Closed torus: 2 triangles per quad, seg_u*seg_v quads per torus.
+        np.testing.assert_array_equal(
+            np.asarray(scene.triangle_count), [2 * 8 * 6] * 4)
+        # Supplied normals are unit length.
+        n = np.asarray(scene.normals)
+        np.testing.assert_allclose(
+            np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+
+    def test_inside_world_volume(self):
+        import numpy as np
+        from l2n_tpu.scene.obj import load_obj
+        from l2n_tpu.scene.procgen import torus_field_obj
+
+        scene = load_obj(torus_field_obj(n_tori=8, world_size=1024.0))
+        v = np.asarray(scene.vertices)
+        # centers in +-512, max extent major+minor < 0.0725*1024 ~ 74.
+        assert np.abs(v).max() < 512.0 + 80.0

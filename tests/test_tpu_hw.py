@@ -1,24 +1,136 @@
 """Hardware-only tests: the rng="tpu_hw" sampler (pltpu.prng_random_bits).
 
 The hardware PRNG has no interpret-mode or oracle analog, so its gates are
-STATISTICAL: a converged tpu_hw render must estimate the same image as the
-bit-parity threefry render (both are unbiased Monte Carlo estimators of the
-same integral). Run with:
+(a) STATISTICAL at the bit level — monobit balance per bit position, byte
+chi-square, per-lane balance, cross-draw correlation — and (b) STATISTICAL
+at the estimator level — a converged tpu_hw render must estimate the same
+image, with the same per-sample variance, as the bit-parity threefry
+render (both are unbiased Monte Carlo estimators of the same integral).
+Run with:
 
     L2N_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_hw.py -v
 
 (the default suite forces the virtual CPU mesh and skips these).
+
+Bound derivations: for n fair bits the ones-count is Binomial(n, 1/2);
+all bounds below are ±6 sigma or looser, so a correct generator fails any
+single assertion with p < 1e-8 and the gates are deterministic in practice.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 pytestmark = pytest.mark.skipif(
     jax.default_backend() != "tpu",
     reason="rng='tpu_hw' needs a real TPU (set L2N_TEST_PLATFORM=tpu)")
+
+
+# ---------------------------------------------------------------------------
+# Raw-bit harness: one Pallas kernel that seeds the core PRNG and makes K
+# successive (H, 128) draws — the same prng_seed/prng_random_bits pair the
+# production sampler uses (ops/kernels/common.py:35-70).
+# ---------------------------------------------------------------------------
+
+def draw_raw_bits(seed0: int, seed1: int, k: int = 4, h: int = 256):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(seed_ref, o_ref):
+        pltpu.prng_seed(seed_ref[0], seed_ref[1])
+        for i in range(k):
+            o_ref[i] = pltpu.bitcast(
+                pltpu.prng_random_bits((h, 128)), jnp.uint32)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(1,),
+            in_specs=[],
+            out_specs=pl.BlockSpec((k, h, 128), lambda i, s: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((k, h, 128), jnp.uint32),
+    )
+    seeds = jnp.asarray([seed0, seed1], jnp.int32)
+    return np.asarray(jax.jit(call)(seeds))  # (k, h, 128) uint32
+
+
+def _bits_by_position(words: np.ndarray) -> np.ndarray:
+    """(32,) ones-count per bit position over a uint32 array."""
+    w = words.reshape(-1)
+    return np.array([(w >> b & 1).sum() for b in range(32)], np.int64)
+
+
+def test_monobit_per_bit_position():
+    """Every one of the 32 output bit positions is balanced. n = 4*256*128
+    words per position => sigma = sqrt(n)/2 ~ 181; allow 6 sigma."""
+    words = draw_raw_bits(0x1234, 0x5678)
+    n = words.size
+    ones = _bits_by_position(words)
+    bound = 6 * np.sqrt(n) / 2
+    assert np.abs(ones - n / 2).max() < bound, ones
+
+
+def test_byte_chi_square():
+    """Byte-value histogram is uniform: chi-square over 256 bins.
+    dof=255 => mean 255, sigma ~ sqrt(2*255) ~ 22.6; allow mean + 8 sigma."""
+    words = draw_raw_bits(0xBEEF, 7)
+    by = words.view(np.uint8)
+    hist = np.bincount(by.reshape(-1), minlength=256).astype(np.float64)
+    expect = by.size / 256.0
+    chi2 = float(((hist - expect) ** 2 / expect).sum())
+    assert chi2 < 255 + 8 * np.sqrt(2 * 255), chi2
+
+
+def test_per_lane_balance():
+    """Ones-density is balanced per (vector lane, bit) cell — catches a
+    per-lane structural defect (e.g. a lane-replicated stream) that the
+    global monobit test would average away. n = 4*256*32 bits per lane."""
+    words = draw_raw_bits(42, 99)
+    pop = np.array([bin(x).count("1") for x in range(256)], np.int64)
+    by = words.view(np.uint8).reshape(4, 256, 128, 4)  # lane-major bytes
+    ones_per_lane = pop[by].sum(axis=(0, 1, 3))        # (128,)
+    n = 4 * 256 * 32
+    bound = 6 * np.sqrt(n) / 2
+    assert np.abs(ones_per_lane - n / 2).max() < bound
+
+
+def test_cross_draw_and_cross_seed_correlation():
+    """Successive draws from one seed, and draws from different seeds, are
+    uncorrelated at the bit level: matching-bit fraction ~ 1/2. Also pins
+    determinism (same seed => identical stream) — the property the
+    device-residency caches and resume paths rely on."""
+    a = draw_raw_bits(1, 2)
+    b = draw_raw_bits(1, 2)
+    np.testing.assert_array_equal(a, b)  # deterministic per seed
+
+    n = a[0].size * 32
+    bound = 6 * np.sqrt(n) / 2
+    for x, y in [(a[0], a[1]), (a[1], a[2]), (a[0], a[3]),
+                 (a[0], draw_raw_bits(3, 2)[0]),
+                 (a[0], draw_raw_bits(1, 3)[0])]:
+        match = np.array([bin(v).count("1") for v in range(256)],
+                         np.int64)[(~(x ^ y)).view(np.uint8)].sum()
+        assert abs(match - n / 2) < bound, (match, n)
+
+
+def test_uniform_oo_mapping():
+    """uniform_oo_from_bits on hardware bits: open-open (0,1) support with
+    the reference's exponent-trick distribution (rand_tinymt32.cs.glsl:176
+    -179 analog): mean 1/2, variance 1/12, and never exactly 0 or 1."""
+    from l2n_tpu.rng.threefry import uniform_oo_from_bits
+
+    words = draw_raw_bits(0xABCD, 0x42, k=4)
+    u = np.asarray(jax.jit(uniform_oo_from_bits)(jnp.asarray(words)))
+    assert u.min() > 0.0 and u.max() < 1.0
+    n = u.size
+    assert abs(u.mean() - 0.5) < 6 * np.sqrt(1 / 12 / n)
+    assert abs(u.var() - 1 / 12) < 0.001
 
 
 def _render(cfg, steps):
@@ -33,6 +145,25 @@ def _render(cfg, steps):
         state = prog.step(state, camera)
     acc = np.asarray(state.accum)
     return acc[:3, :cfg.height, :cfg.width] / acc[3:4, :cfg.height, :cfg.width]
+
+
+def _step_contributions(cfg, steps):
+    """Per-step sample-mean images (independent 1-step estimates)."""
+    from l2n_tpu.camera import Camera
+    from l2n_tpu.render.program import SphereProgram
+    from l2n_tpu.render.state import init_frame_state
+
+    prog = SphereProgram(cfg, backend="pallas")
+    camera = Camera.from_config(cfg).packed()
+    state = init_frame_state(cfg)
+    prev = np.zeros((3, cfg.padded_height, cfg.padded_width), np.float32)
+    out = []
+    for _ in range(steps):
+        state = prog.step(state, camera)
+        acc = np.asarray(state.accum[:3])
+        out.append((acc - prev) / cfg.spp_per_step)
+        prev = acc
+    return np.stack(out)[:, :, :cfg.height, :cfg.width]
 
 
 def test_tpu_hw_matches_threefry_estimate():
@@ -50,6 +181,32 @@ def test_tpu_hw_matches_threefry_estimate():
     # emissive-adjacent pixels are heavy-tailed; compare medians of |diff|).
     med = float(np.median(np.abs(img_hw - img_tf)))
     assert med < 0.05, med
+
+
+def test_tpu_hw_variance_matches_threefry():
+    """Equal-spp estimator variance: the headline sampler must not trade
+    bias-freedom for extra variance. Compare the across-step variance maps
+    of independent per-step estimates (same scene, same integrand) —
+    ratio of per-sampler variance medians must be ~1 (VERDICT r2 item 7).
+
+    Statistic choice matters: path-tracing pixel variances are heavy-tailed
+    (rare bright events), so the median of the PIXELWISE ratio conditioned
+    on `var_tf > eps` is biased well below 1 — the mask selects pixels where
+    threefry's 24-sample variance estimate happened to fluctuate high
+    (measured: pixelwise-ratio median ~0.5-0.8 for IDENTICAL-quality
+    samplers, ratio of medians ~1.00). Each sampler therefore gets its own
+    symmetric mask and one scalar median before the ratio is taken."""
+    from l2n_tpu.config import RenderConfig
+
+    cfg = RenderConfig(width=256, height=128, tile_height=32, tile_width=128,
+                       tiles_per_step=8, spp_per_step=4).validate()
+    steps = 24
+    var_tf = _step_contributions(cfg.replace(rng="threefry"), steps).var(axis=0)
+    var_hw = _step_contributions(cfg.replace(rng="tpu_hw"), steps).var(axis=0)
+    med_tf = float(np.median(var_tf[var_tf > 1e-6]))
+    med_hw = float(np.median(var_hw[var_hw > 1e-6]))
+    ratio = med_hw / med_tf
+    assert 0.8 < ratio < 1.25, (med_hw, med_tf)
 
 
 def test_tpu_hw_steps_decorrelated():
