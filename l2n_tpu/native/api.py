@@ -213,7 +213,7 @@ class NativeTriangleRenderer:
         # sample identical cones.
         if cfg.nee:
             from l2n_tpu.ops.kernels.triangle_pt import pack_mesh_blocks
-            _, bounds, _, _, _ = pack_mesh_blocks(self.scene)
+            bounds = pack_mesh_blocks(self.scene)[1]
             self.mesh_bounds = np.ascontiguousarray(bounds, np.float32)
         else:
             self.mesh_bounds = None

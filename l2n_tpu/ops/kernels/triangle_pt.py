@@ -64,22 +64,59 @@ _V1, _E1, _E2, _NA, _DNB, _DNC = 0, 3, 6, 9, 12, 15
 _TA, _DTB, _DTC = 18, 20, 22
 _N_ROWS = 24
 
-# Within-mesh spatial clusters (power of two; tpad is a multiple of 128 so
-# cluster size stays register-friendly). 8 measured best on v5e for the
-# reference scene (155 -> 124 ms/frame-spp vs 4; 16 fails to compile and
-# would be gate-overhead-bound anyway).
-_CLUSTERS = 8
+# Work-unit geometry. Triangles are spatially sorted per mesh (recursive
+# median split), then grouped into fixed 128-triangle SLABS — the DMA and
+# work-list granularity. SMEM staging is one (24, 128) slab no matter how
+# large a mesh gets (the previous whole-mesh staging made the scratch —
+# and the unrolled sweep code — scale with the LARGEST mesh: a 768-tri
+# torus field took a 9-minute Mosaic compile and 40 ms/frame-spp).
+# Within a slab, _SUBS sub-cluster bounds of 16 triangles gate the
+# unrolled Möller-Trumbore sweeps (the successor of the round-2
+# 8-clusters-per-mesh scheme, 155 -> 124 ms/frame-spp then).
+import os as _os
+
+_SLAB = int(_os.environ.get("L2N_TRI_SLAB", "128"))
+_SUBS = 8
+_SUBSIZE = _SLAB // _SUBS
+
+
+def _spatial_order(cents: np.ndarray) -> np.ndarray:
+    """Spatial sort of triangle centroids: recursive median split along
+    the longest axis, split points snapped to slab (then sub-cluster)
+    multiples so the kernel's fixed-size consecutive runs stay spatially
+    compact."""
+    def rec(order):
+        n = len(order)
+        if n <= _SUBSIZE:
+            return [order]
+        axis = int(np.argmax(cents[order].max(0) - cents[order].min(0)))
+        srt = order[np.argsort(cents[order][:, axis], kind="stable")]
+        q = _SLAB if n > 2 * _SLAB else _SUBSIZE
+        half = min(max(q, ((n // 2 + q // 2) // q) * q), n - 1)
+        return rec(srt[:half]) + rec(srt[half:])
+    if len(cents) == 0:
+        return np.arange(0)
+    return np.concatenate(rec(np.arange(len(cents))))
+
+
+def _bsphere(pts: np.ndarray) -> tuple[np.ndarray, float]:
+    center = 0.5 * (pts.min(0) + pts.max(0))
+    r2 = float(((pts - center) ** 2).sum(1).max()) * (1.0 + 1e-5)
+    return center, r2
 
 
 def pack_mesh_blocks(
         scene: TriangleScene) -> tuple[np.ndarray, np.ndarray, bool]:
-    """Pack the soup into per-mesh blocks + bounding spheres.
+    """Pack the soup into per-mesh slab blocks + bounding spheres.
 
     Returns (blocks (M, 24, Tpad) f32, bounds (M, 4) f32 [cx cy cz r^2],
-    cluster_bounds (M, _CLUSTERS, 5) f32 [cx cy cz r^2 r], inner_gap (M,)
-    f32, sphere_normals). Triangles are
-    spatially clustered within each mesh (see inline comment). Padding
-    triangles are all-zero (degenerate -> det = 0 -> rejected).
+    slab_bounds (M, S, 5) f32 [cx cy cz r^2 r], sub_bounds
+    (M, S, _SUBS, 5) f32, slab_count (M,) i32, inner_gap (M,) f32,
+    sphere_normals), where S = Tpad // _SLAB. Triangles are spatially
+    sorted within each mesh (see _spatial_order) so each consecutive
+    128-triangle slab — and each 16-triangle sub-run — is spatially
+    compact. Padding triangles are all-zero (degenerate -> det = 0 ->
+    rejected); empty slabs/subs get bound r^2 = -1e30 (never entered).
 
     `sphere_normals` is True when every mesh's vertex normals are exactly
     the unit radial directions of a sphere centered at its bound center —
@@ -95,7 +132,7 @@ def pack_mesh_blocks(
     mesh_id = soup["mesh_id"]
     m_count = int(scene.mesh_count)
     counts = np.bincount(mesh_id, minlength=m_count)
-    tpad = max(128, int(-(-counts.max() // 128) * 128))
+    tpad = max(_SLAB, int(-(-counts.max() // _SLAB) * _SLAB))
 
     # Affine attribute deltas (see row layout above).
     for a in "xyz":
@@ -112,25 +149,12 @@ def pack_mesh_blocks(
     assert len(rows) == _N_ROWS
     blocks = np.zeros((m_count, _N_ROWS, tpad), np.float32)
     bounds = np.zeros((m_count, 4), np.float32)
-    # Per-(mesh, cluster) bounding spheres: triangles are reordered within
-    # each mesh into _CLUSTERS spatially compact groups (recursive median
-    # split of centroids along the longest axis) so bounce sweeps can skip
-    # whole quarters of a mesh. Empty clusters get r2 = -1e30 (never
-    # entered).
-    csize = tpad // _CLUSTERS
-    cbounds = np.full((m_count, _CLUSTERS, 5), 0.0, np.float32)
-    cbounds[:, :, 3] = -1e30  # [cx, cy, cz, r^2, r]; empty -> never entered
-
-    def _median_split(order, cents, levels):
-        if levels == 0:
-            return [order]
-        if len(order) == 0:  # tiny meshes: fewer triangles than clusters
-            return [order] * (1 << levels)
-        axis = int(np.argmax(cents[order].max(0) - cents[order].min(0)))
-        srt = order[np.argsort(cents[order][:, axis], kind="stable")]
-        half = (len(srt) + 1) // 2
-        return (_median_split(srt[:half], cents, levels - 1)
-                + _median_split(srt[half:], cents, levels - 1))
+    n_slabs = tpad // _SLAB
+    slab_bounds = np.zeros((m_count, n_slabs, 5), np.float32)
+    slab_bounds[:, :, 3] = -1e30
+    sub_bounds = np.zeros((m_count, n_slabs, _SUBS, 5), np.float32)
+    sub_bounds[:, :, :, 3] = -1e30
+    slab_count = np.zeros((m_count,), np.int32)
 
     for m in range(m_count):
         sel = np.flatnonzero(mesh_id == m)
@@ -139,31 +163,26 @@ def pack_mesh_blocks(
         v2 = v1 + np.stack([soup[f"e1{a}"][sel] for a in "xyz"], 1)
         v3 = v1 + np.stack([soup[f"e2{a}"][sel] for a in "xyz"], 1)
         cents = (v1 + v2 + v3) / 3.0
-        groups = _median_split(np.arange(n), cents,
-                               int(np.log2(_CLUSTERS))) if n else []
-        for c, g in enumerate(groups):
-            if len(g) == 0:
-                continue
-            if len(g) > csize:  # ragged split; spill into the next cluster
-                groups[c + 1] = np.concatenate([g[csize:], groups[c + 1]]) \
-                    if c + 1 < len(groups) else g[csize:]
-                g = g[:csize]
-                groups[c] = g
-            rows_sel = sel[g]
-            base = c * csize
-            for r, key in enumerate(rows):
-                blocks[m, r, base:base + len(g)] = soup[key][rows_sel]
-            pts = np.concatenate([v1[g], v2[g], v3[g]], 0)
-            center = 0.5 * (pts.min(0) + pts.max(0))
-            r2 = float(((pts - center) ** 2).sum(1).max()) * (1.0 + 1e-5)
-            cbounds[m, c] = [center[0], center[1], center[2], r2,
-                             float(np.sqrt(r2))]
+        order = _spatial_order(cents)
+        rows_sel = sel[order]
+        for r, key in enumerate(rows):
+            blocks[m, r, :n] = soup[key][rows_sel]
+        tri_pts = np.stack([v1[order], v2[order], v3[order]], 1)  # (n, 3, 3)
+        slab_count[m] = -(-n // _SLAB)
+        for s in range(int(slab_count[m])):
+            g = tri_pts[s * _SLAB:(s + 1) * _SLAB]
+            center, r2 = _bsphere(g.reshape(-1, 3))
+            slab_bounds[m, s] = [*center, r2, float(np.sqrt(r2))]
+            for c in range(_SUBS):
+                gg = g[c * _SUBSIZE:(c + 1) * _SUBSIZE]
+                if len(gg) == 0:
+                    continue
+                center, r2 = _bsphere(gg.reshape(-1, 3))
+                sub_bounds[m, s, c] = [*center, r2, float(np.sqrt(r2))]
         # Exact-conservative whole-mesh bound.
-        pts = np.concatenate([v1, v2, v3], 0)
         if n:
-            center = 0.5 * (pts.min(0) + pts.max(0))
-            r2 = float(((pts - center) ** 2).sum(1).max()) * (1.0 + 1e-5)
-            bounds[m] = [center[0], center[1], center[2], r2]
+            center, r2 = _bsphere(tri_pts.reshape(-1, 3))
+            bounds[m] = [*center, r2]
 
     # Inner-sphere certain-hit data for the any-hit sweep: if a mesh is a
     # CLOSED surface (signed solid angle of its triangles around the bound
@@ -234,7 +253,8 @@ def pack_mesh_blocks(
                 break
         if not sphere_normals:
             break
-    return blocks, bounds, cbounds, inner_gap, sphere_normals
+    return (blocks, bounds, slab_bounds, sub_bounds, slab_count, inner_gap,
+            sphere_normals)
 
 
 def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, start, count,
@@ -386,18 +406,18 @@ def _bound_enter(ox, oy, oz, dx, dy, dz, cx, cy, cz, r2):
     return enter, hb, c
 
 
-def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, *refs):
+def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, *refs):
     if not cfg.rng_stateful:
         (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
-         br2_ref, brad_ref, ccb_ref, gap_ref, tcx_ref, tcy_ref, tcz_ref,
-         tr_ref, blocks_hbm, accum_in, _out_in,
+         br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, gap_ref, tcx_ref,
+         tcy_ref, tcz_ref, tr_ref, blocks_hbm, accum_in, _out_in,
          accum_out, out_out, smem_blk, dma_sem, best_f, best_i,
          flags_vmem, flags_ref, wlist_ref) = refs
         rng_in = rng_out = None
     else:
         (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
-         br2_ref, brad_ref, ccb_ref, gap_ref, tcx_ref, tcy_ref, tcz_ref,
-         tr_ref, blocks_hbm, accum_in, _out_in,
+         br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, gap_ref, tcx_ref,
+         tcy_ref, tcz_ref, tr_ref, blocks_hbm, accum_in, _out_in,
          rng_in, accum_out, out_out, rng_out, smem_blk, dma_sem, best_f,
          best_i, flags_vmem, flags_ref, wlist_ref) = refs
 
@@ -416,10 +436,12 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, *refs):
     want_tc = cfg.aov in ("tex_coords",)
     zero = jnp.zeros(shape, f32)
 
-    def dma_mesh(m):
-        # One contiguous block copy (a strided sub-slice DMA measured
-        # slower than moving the few extra attribute rows).
-        cp = pltpu.make_async_copy(blocks_hbm.at[m], smem_blk, dma_sem)
+    def dma_slab(m, s):
+        # One (24, 128) lane-aligned slab copy (VMEM-resident blocks ->
+        # SMEM staging; a strided attribute sub-slice DMA measured slower
+        # than moving the few extra rows).
+        cp = pltpu.make_async_copy(
+            blocks_hbm.at[m, :, pl.ds(s * _SLAB, _SLAB)], smem_blk, dma_sem)
         cp.start()
         cp.wait()
 
@@ -445,27 +467,60 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, *refs):
             best_f[p] = carry[p]
         best_i[0] = carry[8]
 
-    csize = tpad // _CLUSTERS
+    # (mesh, slab) work items: q = m * SPP + s with SPP the next power of
+    # two of the slab count (scalar decode is two shift/mask ops).
+    n_slabs = tpad // _SLAB
+    spp = 1 << (n_slabs - 1).bit_length()
+    sp_log = spp.bit_length() - 1
 
-    def sweep(m, ox, oy, oz, dx, dy, dz):
-        # Second cull level: within the DMA'd mesh, sweep only the spatial
-        # clusters whose bounds some lane's ray enters closer than its best.
-        for c in range(_CLUSTERS):
+    # Slab/sub bound tables arrive FLATTENED to 1-D: an SMEM window pads
+    # its minor dimension to 128, so the natural (M, S, 8, 5) layout
+    # inflates 25x (1.0 MB for the reference scene — over the 1 MB SMEM
+    # budget). Flat arrays stay at their raw byte size.
+    def _slb(m, s, k):
+        return slb_ref[(m * n_slabs + s) * 5 + k]
+
+    def _sub(m, s, c, k):
+        return sub_ref[((m * n_slabs + s) * _SUBS + c) * 5 + k]
+
+    def _masked_slab(m, s, cond_fn, sub_sweep, ox, oy, oz, dx, dy, dz):
+        # Gated slab visit: the _SUBS sub-cluster "needed" bits are
+        # reduced in one pass into a single scalar mask; the slab DMA and
+        # the 16-tri sweeps only run for set bits. (A per-sub
+        # jnp.any/pl.when chain paid a scalar sync per sub-cluster plus an
+        # unconditional slab DMA per entered slab — the measured dominant
+        # cost of the torus-field bounce walks.)
+        mask = jnp.int32(0)
+        for c in range(_SUBS):
             entc, hbc, _ = _bound_enter(
-                ox, oy, oz, dx, dy, dz, ccb_ref[m, c, 0], ccb_ref[m, c, 1],
-                ccb_ref[m, c, 2], ccb_ref[m, c, 3])
-            lowc = jnp.maximum(-hbc - ccb_ref[m, c, 4], jnp.float32(0.0))
+                ox, oy, oz, dx, dy, dz, _sub(m, s, c, 0),
+                _sub(m, s, c, 1), _sub(m, s, c, 2),
+                _sub(m, s, c, 3))
+            lowc = jnp.maximum(-hbc - _sub(m, s, c, 4), jnp.float32(0.0))
+            bit = jnp.max((cond_fn(entc, lowc)).astype(jnp.int32) << c)
+            mask = mask | bit
 
-            @pl.when(jnp.any(entc & (lowc < best_f[0])))
-            def _one(c=c):
-                if fast:
-                    write_best(_sweep_mesh_fast(
-                        smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
-                        c * csize, csize))
-                else:
-                    write_best(_sweep_mesh(
-                        smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
-                        c * csize, csize, want_tc))
+        @pl.when(mask != 0)
+        def _do():
+            dma_slab(m, s)
+            for c in range(_SUBS):
+                @pl.when((mask >> c) & 1 != 0)
+                def _one(c=c):
+                    sub_sweep(c)
+
+    def sweep_slab(m, s, ox, oy, oz, dx, dy, dz):
+        def sub_sweep(c):
+            if fast:
+                write_best(_sweep_mesh_fast(
+                    smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
+                    c * _SUBSIZE, _SUBSIZE))
+            else:
+                write_best(_sweep_mesh(
+                    smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
+                    c * _SUBSIZE, _SUBSIZE, want_tc))
+
+        _masked_slab(m, s, lambda entc, lowc: entc & (lowc < best_f[0]),
+                     sub_sweep, ox, oy, oz, dx, dy, dz)
 
     def pick_bound_r2(bmesh):
         # Winner's bound r^2 (cone-NEE MIS input) via one scalar mesh pass.
@@ -522,17 +577,30 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, *refs):
                    tc_u=tu, tc_v=tv, b_u=bu, b_v=bv,
                    bound_r2=pick_bound_r2(bmesh))
 
+    def _slab_bound(m, s, ox, oy, oz, dx, dy, dz):
+        enter, hb, _c = _bound_enter(
+            ox, oy, oz, dx, dy, dz, _slb(m, s, 0), _slb(m, s, 1),
+            _slb(m, s, 2), _slb(m, s, 3))
+        lower = jnp.maximum(-hb - _slb(m, s, 4), jnp.float32(0.0))
+        return enter, lower
+
     def intersect_primary(ox, oy, oz, dx, dy, dz) -> Hit:
         # Cone-culled: the host table lists the meshes whose bounds meet
         # this tile's view cone, in tile-id order (see sphere_pt's
-        # full_visibility_table — same machinery over mesh bounds).
+        # full_visibility_table — same machinery over mesh bounds). Each
+        # visible mesh's slabs are gated individually (a tile cone can
+        # meet a mesh bound yet miss most of a large mesh's slabs).
         init_best()
         n_vis = vis_ref[tid, 0]
 
         def per_vis(j, _):
             m = vis_ref[tid, 1 + j]
-            dma_mesh(m)
-            sweep(m, ox, oy, oz, dx, dy, dz)
+
+            def per_slab(s, _):
+                sweep_slab(m, s, ox, oy, oz, dx, dy, dz)
+                return _
+
+            jax.lax.fori_loop(0, scnt_ref[m], per_slab, jnp.int32(0))
             return _
 
         jax.lax.fori_loop(0, n_vis, per_vis, jnp.int32(0))
@@ -543,65 +611,105 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, *refs):
     # fori_loop whose per-mesh body did a vector->scalar `jnp.any` + a
     # `pl.when` — measured as the dominant cost of the whole kernel (the
     # walks, not the triangle sweeps). Here each walk becomes:
-    #   1. one UNROLLED branch-free pass over all meshes (static ids,
-    #      vector-only: no reductions, no branches) that computes per-mesh
-    #      need flags as 0/1 LANES of a flag row, plus any per-lane seeds;
+    #   1. one UNROLLED branch-free pass over all (mesh, slab) items
+    #      (static ids, vector-only: no reductions, no branches) that
+    #      computes per-item need flags as 0/1 LANES of a flag row;
     #   2. one on-chip copy of the flag row to SMEM;
-    #   3. a cheap SCALAR loop compacting flagged mesh ids (front-to-back)
-    #      into wlist;
-    #   4. a rolled loop over just the ~dozen surviving meshes that does
-    #      the DMA + cluster-gated triangle sweeps.
-    flag_rows = (mesh_count + 127) // 128
+    #   3. a cheap SCALAR loop compacting flagged item ids (front-to-back
+    #      in mesh order, slab-ordered within a mesh) into wlist;
+    #   4. a rolled loop over just the surviving items that does the
+    #      slab DMA + sub-cluster-gated triangle sweeps.
+    flag_rows = (mesh_count * spp + 127) // 128
     lane_of = jax.lax.broadcasted_iota(jnp.int32, (flag_rows, 128), 1)
     row_of = jax.lax.broadcasted_iota(jnp.int32, (flag_rows, 128), 0)
 
-    def _flag_put(frow, m, cond):
+    def _flag_put(frow, q, cond):
         # any(cond) as a (1,1) vector value (no scalar sync), placed into
-        # flag lane m.
+        # flag lane q (static item id m * spp + s).
         bit = jnp.max(cond.astype(jnp.int32), keepdims=True)
-        sel = (row_of == m // 128) & (lane_of == m % 128)
+        sel = (row_of == q // 128) & (lane_of == q % 128)
         return jnp.where(sel, bit, frow)
 
     def _compact(frow):
-        # Flag row -> SMEM, then a scalar pass appends flagged mesh ids in
-        # front-to-back order. Branch-free append: write always, advance
-        # the cursor by the flag.
+        # Flag row -> SMEM, then a scalar pass appends flagged item ids in
+        # front-to-back mesh order. Branch-free append: write always,
+        # advance the cursor by the flag.
         flags_vmem[...] = frow
         cp = pltpu.make_async_copy(flags_vmem, flags_ref, dma_sem)
         cp.start()
         cp.wait()
 
-        def body(j, k):
+        def outer(j, k):
             m = order_ref[j]
-            wlist_ref[k] = m
-            return k + flags_ref[m // 128, m % 128]
 
-        return jax.lax.fori_loop(0, mesh_count, body, jnp.int32(0))
+            def inner(s, k):
+                q = m * spp + s
+                wlist_ref[k] = q
+                return k + flags_ref[q // 128, q % 128]
+
+            return jax.lax.fori_loop(0, scnt_ref[m], inner, k)
+
+        return jax.lax.fori_loop(0, mesh_count, outer, jnp.int32(0))
 
     def _mesh_bound(m, ox, oy, oz, dx, dy, dz):
         return _bound_enter(ox, oy, oz, dx, dy, dz, bcx_ref[m],
                             bcy_ref[m], bcz_ref[m], br2_ref[m])
 
+    def _flag_items(cond_fn, ox, oy, oz, dx, dy, dz):
+        # Unrolled vector flag pass over the static non-empty items.
+        frow = jnp.zeros((flag_rows, 128), jnp.int32)
+        for m, s in items:
+            enter, lower = _slab_bound(m, s, ox, oy, oz, dx, dy, dz)
+            frow = _flag_put(frow, m * spp + s, cond_fn(enter, lower))
+        return _compact(frow)
+
+    def _walk_items(n_work, visit_fn):
+        # Rolled walk over the compacted items; visit_fn(m, s) re-checks
+        # per-lane liveness inside its own masked gate (the static flags
+        # only saw the seed, earlier sweeps tighten the live best).
+        def per_item(j, _):
+            q = wlist_ref[j]
+            visit_fn(q >> sp_log, q & (spp - 1))
+            return _
+
+        jax.lax.fori_loop(0, n_work, per_item, jnp.int32(0))
+
+    def anyhit_slab(m, s, lane_mask, ox, oy, oz, dx, dy, dz):
+        def sub_sweep(c):
+            best_i[0] = _anyhit_mesh(
+                smem_blk, best_i[0], ox, oy, oz, dx, dy, dz,
+                c * _SUBSIZE, _SUBSIZE)
+
+        _masked_slab(m, s,
+                     lambda entc, lowc: lane_mask & entc & (best_i[0] == 0),
+                     sub_sweep, ox, oy, oz, dx, dy, dz)
+
     def _pending_walk(pending, ox, oy, oz, dx, dy, dz):
-        # Fallback mesh-sweep walk for shellwalk's PENDING lanes (wide
+        # Fallback slab-sweep walk for shellwalk's PENDING lanes (wide
         # chords, inscribed starts, slot overflow — measured well under
         # 0.1% of rays): flags only consider pending lanes, so the work
         # list is empty for almost every block.
-        frow = jnp.zeros((flag_rows, 128), jnp.int32)
-        for m in range(mesh_count):
-            enter, hb, _c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
-            lower = jnp.maximum(-hb - brad_ref[m], f32(0.0))
-            frow = _flag_put(frow, m,
-                             pending & enter & (lower < best_f[0]))
-        n_work = _compact(frow)
+        n_work = _flag_items(
+            lambda enter, lower: pending & enter & (lower < best_f[0]),
+            ox, oy, oz, dx, dy, dz)
 
-        def per_mesh(j, _):
-            m = wlist_ref[j]
-            dma_mesh(m)
-            sweep(m, ox, oy, oz, dx, dy, dz)
-            return _
+        def visit(m, s):
+            def sub_sweep(c):
+                if fast:
+                    write_best(_sweep_mesh_fast(
+                        smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
+                        c * _SUBSIZE, _SUBSIZE))
+                else:
+                    write_best(_sweep_mesh(
+                        smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
+                        c * _SUBSIZE, _SUBSIZE, want_tc))
 
-        jax.lax.fori_loop(0, n_work, per_mesh, jnp.int32(0))
+            _masked_slab(m, s,
+                         lambda entc, lowc: pending & entc
+                         & (lowc < best_f[0]),
+                         sub_sweep, ox, oy, oz, dx, dy, dz)
+
+        _walk_items(n_work, visit)
 
     def intersect_shell(ox, oy, oz, dx, dy, dz) -> Hit:
         # Procedural nearest-hit (shellwalk): per-lane candidate meshes
@@ -639,28 +747,11 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, *refs):
         hit = (t >= 0.0).astype(jnp.int32)
         best_i[0] = hit
         pend = pending & (hit == 0)
-        frow = jnp.zeros((flag_rows, 128), jnp.int32)
-        for m in range(mesh_count):
-            enter, _hb, _c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
-            frow = _flag_put(frow, m, pend & enter)
-        n_work = _compact(frow)
-
-        def per_mesh(j, _):
-            m = wlist_ref[j]
-            dma_mesh(m)
-            for c in range(_CLUSTERS):
-                entc, _h, _c2 = _bound_enter(
-                    ox, oy, oz, dx, dy, dz, ccb_ref[m, c, 0],
-                    ccb_ref[m, c, 1], ccb_ref[m, c, 2], ccb_ref[m, c, 3])
-
-                @pl.when(jnp.any(entc & (best_i[0] == 0)))
-                def _one(c=c):
-                    best_i[0] = _anyhit_mesh(
-                        smem_blk, best_i[0], ox, oy, oz, dx, dy, dz,
-                        c * csize, csize)
-            return _
-
-        jax.lax.fori_loop(0, n_work, per_mesh, jnp.int32(0))
+        n_work = _flag_items(lambda enter, lower: pend & enter,
+                             ox, oy, oz, dx, dy, dz)
+        _walk_items(n_work,
+                    lambda m, s: anyhit_slab(m, s, pend,
+                                             ox, oy, oz, dx, dy, dz))
         return best_i[0] != 0
 
     def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
@@ -690,29 +781,29 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, *refs):
         seed = t_ub * f32(1.0 + 4e-6) + f32(1e-5)
         best_f[0] = seed
 
-        frow = jnp.zeros((flag_rows, 128), jnp.int32)
-        for m in range(mesh_count):
-            enter, hb, _c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
-            lower = jnp.maximum(-hb - brad_ref[m], f32(0.0))
-            frow = _flag_put(frow, m, enter & (lower < seed))
-        n_work = _compact(frow)
+        import os as _os
+        _ab = _os.environ.get("L2N_TRI_ABLATE", "")
+        if _ab == "noflags":   # walk every item (flag-pass cost probe)
+            def fill(j, k):
+                m = order_ref[j]
 
-        def per_mesh(j, _):
-            m = wlist_ref[j]
-            enter, hb, _c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
-            lower = jnp.maximum(-hb - brad_ref[m], f32(0.0))
-            # Re-check against the LIVE best: earlier sweeps in the
-            # front-to-back order tighten it below the static seed.
-            needed = jnp.any(enter & (lower < best_f[0]))
+                def inner(s, k):
+                    wlist_ref[k] = m * spp + s
+                    return k + 1
 
-            @pl.when(needed)
-            def _sweep():
-                dma_mesh(m)
-                sweep(m, ox, oy, oz, dx, dy, dz)
+                return jax.lax.fori_loop(0, scnt_ref[m], inner, k)
 
-            return _
-
-        jax.lax.fori_loop(0, n_work, per_mesh, jnp.int32(0))
+            n_work = jax.lax.fori_loop(0, mesh_count, fill, jnp.int32(0))
+        else:
+            n_work = _flag_items(
+                lambda enter, lower: enter & (lower < seed),
+                ox, oy, oz, dx, dy, dz)
+        if _ab != "nowalk":
+            # Each visit re-checks against the LIVE best: earlier sweeps
+            # in the front-to-back order tighten it below the static seed.
+            _walk_items(n_work,
+                        lambda m, s: sweep_slab(m, s, ox, oy, oz,
+                                                dx, dy, dz))
         return finish(ox, oy, oz, dx, dy, dz)
 
     def intersect_anyhit(ox, oy, oz, dx, dy, dz):
@@ -721,38 +812,18 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, *refs):
         # resolves all certain hits (inscribed-sphere crossings of closed
         # meshes) branch-free; only grazing-band rays reach triangle tests.
         acc = jnp.zeros(shape, jnp.int32)
-        frow = jnp.zeros((flag_rows, 128), jnp.int32)
         for m in range(mesh_count):
-            enter, hb, c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
+            _enter, hb, c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
             c_in = c + gap_ref[m]
             cross = (c_in < 0.0) | ((hb < 0.0) & (hb * hb - c_in >= 0.0))
             acc = acc | cross.astype(jnp.int32)
-            frow = _flag_put(frow, m, enter & ~cross)
         best_i[0] = acc
-        n_work = _compact(frow)
-
-        def per_mesh(j, _):
-            m = wlist_ref[j]
-            enter, _hb, _c = _mesh_bound(m, ox, oy, oz, dx, dy, dz)
-            needed = jnp.any(enter & (best_i[0] == 0))
-
-            @pl.when(needed)
-            def _sweep():
-                dma_mesh(m)
-                for c in range(_CLUSTERS):
-                    entc, _h, _c2 = _bound_enter(
-                        ox, oy, oz, dx, dy, dz, ccb_ref[m, c, 0],
-                        ccb_ref[m, c, 1], ccb_ref[m, c, 2], ccb_ref[m, c, 3])
-
-                    @pl.when(jnp.any(entc & (best_i[0] == 0)))
-                    def _one(c=c):
-                        best_i[0] = _anyhit_mesh(
-                            smem_blk, best_i[0], ox, oy, oz, dx, dy, dz,
-                            c * csize, csize)
-
-            return _
-
-        jax.lax.fori_loop(0, n_work, per_mesh, jnp.int32(0))
+        uncertain = acc == 0
+        n_work = _flag_items(lambda enter, lower: uncertain & enter,
+                             ox, oy, oz, dx, dy, dz)
+        _walk_items(n_work,
+                    lambda m, s: anyhit_slab(m, s, True,
+                                             ox, oy, oz, dx, dy, dz))
         return best_i[0] != 0
 
     if shellwalk_cfg is not None:
@@ -797,7 +868,8 @@ def build_triangle_call(cfg, scene: TriangleScene):
 
     Returns (call, aux); call(sched (K,2) i32, vis_table (tile_count,1+M)
     i32 in tile-id order, camera (10,4) f32, order (M,) i32, bcx, bcy, bcz,
-    br2, brad (M,) f32, cbounds (M,C,5) f32, inner_gap (M,) f32, blocks
+    br2, brad (M,) f32, slab_bounds (M,S,5) f32, sub_bounds (M,S,8,5) f32,
+    slab_count (M,) i32, inner_gap (M,) f32, blocks
     HBM, accum, output[, rng_state]).
     """
     th, tw = cfg.tile_height, cfg.tile_width
@@ -806,7 +878,7 @@ def build_triangle_call(cfg, scene: TriangleScene):
     stateful = cfg.rng_stateful
     rng_planes = 8 if cfg.rng == "tinymt" else 4
 
-    (blocks_np, bounds_np, cbounds_np, inner_gap_np,
+    (blocks_np, bounds_np, slab_np, sub_np, scount_np, inner_gap_np,
      sphere_normals) = pack_mesh_blocks(scene)
     # Fast (t, mesh)-only sweeps apply when normals are recoverable from
     # mesh centers and no AOV needs texcoords/barycentrics.
@@ -832,8 +904,18 @@ def build_triangle_call(cfg, scene: TriangleScene):
     blocks = jnp.asarray(blocks_np)
     bounds = [jnp.asarray(bounds_np[:, j]) for j in range(4)]
     bradius = jnp.sqrt(bounds[3])
-    cbounds = jnp.asarray(cbounds_np)
+    # Flattened to 1-D for SMEM: a >=2-D SMEM window pads its minor
+    # dimension to 128 (the (M,S,8,5) layout cost 1.0 MB of the 1 MB SMEM
+    # budget on the reference scene); flat arrays stay at raw size.
+    slab_bounds = jnp.asarray(slab_np).reshape(-1)
+    sub_bounds = jnp.asarray(sub_np).reshape(-1)
+    slab_count = jnp.asarray(scount_np)
     inner_gap = jnp.asarray(inner_gap_np)
+    n_slabs = tpad // _SLAB
+    spp = 1 << (n_slabs - 1).bit_length()
+    # Static non-empty (mesh, slab) work items (flag-pass unroll list).
+    items = tuple((m, s) for m in range(mesh_count)
+                  for s in range(int(scount_np[m])))
 
     # The cone-cull table machinery is shared with the sphere kernel: mesh
     # bounding spheres ARE spheres.
@@ -867,7 +949,9 @@ def build_triangle_call(cfg, scene: TriangleScene):
     in_specs = [smem(),                          # camera
                 smem(),                          # front-to-back order (M,)
                 smem(), smem(), smem(), smem(), smem(),  # bounds SoA + radius
-                smem(),                          # cluster bounds (M, C, 5)
+                smem(),                          # slab bounds flat (M*S*5,)
+                smem(),                          # sub bounds flat (M*S*8*5,)
+                smem(),                          # slab counts (M,)
                 smem(),                          # inner_gap (M,)
                 smem(), smem(), smem(), smem(),  # tess centers + radii (M,)
                 # Triangle blocks stay RESIDENT IN VMEM (3 MB for the
@@ -881,12 +965,12 @@ def build_triangle_call(cfg, scene: TriangleScene):
     out_specs = [tile_map(4), tile_map(3)]
     out_shape = [jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
                  jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)]
-    aliases = {16: 0, 17: 1}  # indices include the 2 scalar-prefetch operands
+    aliases = {18: 0, 19: 1}  # indices include the 2 scalar-prefetch operands
     if stateful:
         in_specs.append(tile_map(rng_planes))
         out_specs.append(tile_map(rng_planes))
         out_shape.append(jax.ShapeDtypeStruct((rng_planes, hp, wp), jnp.uint32))
-        aliases[18] = 2
+        aliases[20] = 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -894,27 +978,28 @@ def build_triangle_call(cfg, scene: TriangleScene):
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.SMEM((_N_ROWS, tpad), jnp.float32),
+            pltpu.SMEM((_N_ROWS, _SLAB), jnp.float32),  # one staged slab
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((1 if fast else 8, th, tw), jnp.float32),  # best hit
             pltpu.VMEM((1, th, tw), jnp.int32),     # best mesh / any-hit
             # Bounce-walk work lists: vector-built flag row, its SMEM copy,
-            # and the compacted front-to-back mesh list (see _compact).
-            pltpu.VMEM(((mesh_count + 127) // 128, 128), jnp.int32),
-            pltpu.SMEM(((mesh_count + 127) // 128, 128), jnp.int32),
-            pltpu.SMEM((mesh_count,), jnp.int32),
+            # and the compacted front-to-back item list (see _compact).
+            pltpu.VMEM(((mesh_count * spp + 127) // 128, 128), jnp.int32),
+            pltpu.SMEM(((mesh_count * spp + 127) // 128, 128), jnp.int32),
+            pltpu.SMEM((mesh_count * spp,), jnp.int32),
         ],
     )
 
     call = pl.pallas_call(
-        partial(_kernel, cfg, mesh_count, tpad, fast, shellwalk_cfg),
+        partial(_kernel, cfg, mesh_count, tpad, fast, shellwalk_cfg, items),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
         interpret=interpret_mode(),
     )
     aux = SimpleNamespace(
-        bounds=bounds, bradius=bradius, cbounds=cbounds, inner_gap=inner_gap,
+        bounds=bounds, bradius=bradius,
+        slab=(slab_bounds, sub_bounds, slab_count), inner_gap=inner_gap,
         tess=tc, blocks=blocks, mesh_count=mesh_count, table_fn=table_fn,
         mesh_order=mesh_order, stateful=stateful, fast=fast,
         shellwalk=shellwalk_cfg is not None)
@@ -934,7 +1019,7 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
     def kernel_step(state: FrameState, camera, table, order) -> FrameState:
         sched = scheduled_tiles(tile_array, state.tile_offset, k)
         args = [sched, table, camera, order, *aux.bounds, aux.bradius,
-                aux.cbounds, aux.inner_gap, *aux.tess, aux.blocks,
+                *aux.slab, aux.inner_gap, *aux.tess, aux.blocks,
                 state.accum, state.output]
         if aux.stateful:
             args.append(state.rng_state)

@@ -162,7 +162,7 @@ def make_intersector(cfg: RenderConfig, scene):
         # Cone NEE over the emissive meshes' bounding spheres.
         from l2n_tpu.ops.kernels.triangle_pt import pack_mesh_blocks
         from l2n_tpu.ops.nee import make_mesh_light_sampler
-        _, bounds_np, _, _, _ = pack_mesh_blocks(scene)
+        bounds_np = pack_mesh_blocks(scene)[1]
         bx = jnp.asarray(bounds_np[:, 0])
         by = jnp.asarray(bounds_np[:, 1])
         bz = jnp.asarray(bounds_np[:, 2])

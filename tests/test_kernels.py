@@ -146,38 +146,42 @@ class TestTriangleKernel:
         from l2n_tpu.scene import build_triangle_scene, compute_spheres
         spheres = compute_spheres(4, 256.0, seed=0)
         scene = build_triangle_scene(spheres, 8, 4)
-        blocks, bounds, cbounds, inner_gap, sphere_normals = \
-            pack_mesh_blocks(scene)
+        (blocks, bounds, slab_bounds, sub_bounds, slab_count, inner_gap,
+         sphere_normals) = pack_mesh_blocks(scene)
         # Closed tessellated spheres have a real inscribed sphere:
         # 0 <= gap < r_out^2.
         assert (inner_gap >= 0).all() and (inner_gap < bounds[:, 3]).all()
         assert blocks.shape == (4, 24, 128)  # 64 tris/mesh padded to 128
+        assert (slab_count == 1).all()
         # Tessellated spheres qualify for center-based normal recovery.
         assert sphere_normals
-        # Cluster bounds: each non-empty cluster's bound contains all of its
-        # triangles' corners and sits inside the mesh bound's reach.
-        from l2n_tpu.ops.kernels.triangle_pt import _CLUSTERS
-        assert cbounds.shape == (4, _CLUSTERS, 5)
-        csize = blocks.shape[2] // _CLUSTERS
+        # Slab/sub bounds: each non-empty sub-run's bound contains all of
+        # its triangles' corners; empty runs are marked never-entered.
+        from l2n_tpu.ops.kernels.triangle_pt import _SUBS, _SUBSIZE
+        assert slab_bounds.shape == (4, 1, 5)
+        assert sub_bounds.shape == (4, 1, _SUBS, 5)
         for m in range(4):
-            for c in range(_CLUSTERS):
-                if cbounds[m, c, 3] < 0:
-                    continue
-                blk = blocks[m, :, c * csize:(c + 1) * csize]
+            for c in range(_SUBS):
+                blk = blocks[m, :, c * _SUBSIZE:(c + 1) * _SUBSIZE]
                 live = (blk[3:9] != 0).any(0)
+                if not live.any():
+                    assert sub_bounds[m, 0, c, 3] < 0
+                    continue
                 v1 = blk[0:3, live].T
                 v2 = v1 + blk[3:6, live].T
                 v3 = v1 + blk[6:9, live].T
                 pts = np.concatenate([v1, v2, v3], 0)
-                d2 = ((pts - cbounds[m, c, :3]) ** 2).sum(1)
-                assert (d2 <= cbounds[m, c, 3] + 1e-3).all()
+                d2 = ((pts - sub_bounds[m, 0, c, :3]) ** 2).sum(1)
+                assert (d2 <= sub_bounds[m, 0, c, 3] + 1e-3).all()
+                d2s = ((pts - slab_bounds[m, 0, :3]) ** 2).sum(1)
+                assert (d2s <= slab_bounds[m, 0, 3] + 1e-3).all()
         # Bounds must contain every vertex of their mesh (conservative).
         v = np.asarray(scene.vertices).reshape(4, -1, 3)
         for m in range(4):
             d2 = ((v[m] - bounds[m, :3]) ** 2).sum(1)
             assert (d2 <= bounds[m, 3] + 1e-3).all()
         # Exactly the real triangles are live; padding slots are degenerate
-        # (all-zero edges -> det = 0 -> rejected), distributed per cluster.
+        # (all-zero edges -> det = 0 -> rejected).
         live = (blocks[:, 3:9] != 0).any(1)
         assert (live.sum(1) == 64).all()
 
