@@ -209,10 +209,40 @@ def stage_triangle() -> dict:
     return {"triangle_ms_per_full_frame_spp": round(ms_full, 1)}
 
 
+def stage_obj() -> dict:
+    """Tertiary: an arbitrary-mesh OBJ scene (24 tori x 768 triangles, no
+    procedural-sphere shellwalk shortcut) through the slab-based work-list
+    walk -- the cost of real imported geometry (reference wishlist analog:
+    /root/reference/TODO.md:9 'CPU intersection with embree')."""
+    jax, on_tpu = _setup()
+    if not on_tpu:
+        return {"skipped": "no TPU"}
+    from l2n_tpu.camera import Camera
+    from l2n_tpu.render.program import TriangleProgram
+    from l2n_tpu.render.state import init_frame_state
+    from l2n_tpu.scene.obj import load_obj
+    from l2n_tpu.scene.procgen import torus_field_obj
+
+    cfg = _headline_cfg(True).replace(scene_kind="triangle", spp_per_step=4,
+                                      tiles_per_step=256)
+    scene = load_obj(torus_field_obj())
+    log(f"obj scene: meshes={scene.mesh_count} tris={scene.total_triangles}")
+    prog = TriangleProgram(cfg, scene=scene, backend="pallas")
+    dt = _measure_program(prog, init_frame_state(cfg),
+                          Camera.from_config(cfg), 2, 1, 2)
+    ms_full = dt * 1e3 * (cfg.width * cfg.height) / (
+        cfg.effective_tiles_per_step * cfg.tile_height
+        * cfg.tile_width * cfg.spp_per_step)
+    log(f"obj torus-field scene: {ms_full:.1f} ms per full-frame spp")
+    return {"obj_ms_per_full_frame_spp": round(ms_full, 1),
+            "obj_tris": int(scene.total_triangles)}
+
+
 STAGES = {
     "headline": stage_headline,
     "threefry": stage_threefry,
     "triangle": stage_triangle,
+    "obj": stage_obj,
 }
 
 
@@ -264,7 +294,7 @@ def main() -> None:
     detail = {k: v for k, v in head.items()
               if k not in ("on_tpu", "mrays_per_sec")}
     on_tpu = head.get("on_tpu", False)
-    secondaries = ["threefry", "triangle"] if on_tpu else []
+    secondaries = ["threefry", "triangle", "obj"] if on_tpu else []
     for name in secondaries:
         if remaining() < 90.0:
             detail[name] = "skipped (budget)"

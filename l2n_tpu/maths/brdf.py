@@ -95,7 +95,8 @@ def eval_brdf(nx, ny, nz, wox, woy, woz, wix, wiy, wiz,
 # (/root/reference/TODO.md:5 "disney bsdf"). Implemented lobes: Burley
 # retro-reflective diffuse, sheen, and a GGX specular with COLORED Fresnel
 # (F0 = lerp(0.08*specular, baseColor, metallic)); metallic kills the
-# diffuse/sheen terms. Clearcoat/anisotropy/subsurface are out of scope.
+# diffuse/sheen terms. Subsurface is the diffusion-approximation blend
+# (see eval_disney); clearcoat/anisotropy are out of scope.
 # Sampling: metallic-weighted cosine/GGX mixture (unbiased single-sample
 # estimator, same structure as the microfacet mixture above).
 # ---------------------------------------------------------------------------
@@ -120,7 +121,13 @@ def procedural_disney_params(index):
                          f32(0.0))
     specular = hash_ch(23.147)            # in [0, 1]; F0 = 0.08 * specular
     sheen = hash_ch(11.519)
-    return metallic, specular, sheen
+    # Subsurface (wishlist /root/reference/TODO.md:17 'sub surface
+    # scattering'): ~half the objects get a visible diffusion-approx
+    # blend; the rest stay pure Burley. Metals ignore it (diffuse term
+    # is killed by metallic in eval_disney either way).
+    raw_ss = hash_ch(31.337)
+    subsurface = jnp.maximum((raw_ss - f32(0.5)) * f32(2.0), f32(0.0))
+    return metallic, specular, sheen, subsurface
 
 
 def _schlick5(x):
@@ -131,9 +138,18 @@ def _schlick5(x):
 
 def eval_disney(nx, ny, nz, wox, woy, woz, wix, wiy, wiz,
                 base_r, base_g, base_b, roughness, metallic, specular,
-                sheen):
+                sheen, subsurface):
     """(f_r, f_g, f_b, pdf) of the Disney-lite BSDF for given directions.
-    pdf is the metallic-weighted cosine/GGX sampling mixture's pdf."""
+    pdf is the metallic-weighted cosine/GGX sampling mixture's pdf.
+
+    `subsurface` in [0, 1] blends the Burley diffuse toward the Disney
+    diffusion-approximation lobe (Burley 2012 course notes §5.3, the
+    Hanrahan-Krueger-inspired `ss` term): light enters, scatters below
+    the surface, and re-emerges — flatter at normal incidence, brighter
+    at mutually grazing angles via the 1/(n_l + n_v) term. This is the
+    lane-lockstep TPU answer to the reference wishlist's 'sub surface
+    scattering' (/root/reference/TODO.md:17): a closed-form reciprocal
+    lobe instead of a divergent in-medium random walk."""
     f32 = jnp.float32
     alpha = roughness * roughness
     alpha2 = alpha * alpha
@@ -158,10 +174,23 @@ def eval_disney(nx, ny, nz, wox, woy, woz, wix, wiy, wiz,
     spec_b = dv * (f0_b + (f32(1.0) - f0_b) * s5)
 
     # Burley diffuse: retro-reflection boost at grazing via FD90.
+    sl = _schlick5(n_l)
+    sv = _schlick5(n_v)
     fd90 = f32(0.5) + f32(2.0) * roughness * v_h * v_h
-    fl = f32(1.0) + (fd90 - f32(1.0)) * _schlick5(n_l)
-    fv = f32(1.0) + (fd90 - f32(1.0)) * _schlick5(n_v)
-    kdiff = f32(1.0 / PI) * fl * fv * (f32(1.0) - metallic)
+    fl = f32(1.0) + (fd90 - f32(1.0)) * sl
+    fv = f32(1.0) + (fd90 - f32(1.0)) * sv
+    fd = fl * fv
+    # Subsurface: Hanrahan-Krueger-based diffusion approximation. fss90
+    # reuses the same grazing retro term; 1.25 rescales so the lobe
+    # roughly preserves albedo; the 1/(n_l+n_v) factor is the thin-slab
+    # transport that brightens mutually grazing configurations.
+    fss90 = roughness * v_h * v_h
+    fss = (f32(1.0) + (fss90 - f32(1.0)) * sl) \
+        * (f32(1.0) + (fss90 - f32(1.0)) * sv)
+    ss = f32(1.25) * (fss * (f32(1.0) / jnp.maximum(n_l + n_v, f32(1e-6))
+                             - f32(0.5)) + f32(0.5))
+    kdiff = f32(1.0 / PI) * (fd + (ss - fd) * subsurface) \
+        * (f32(1.0) - metallic)
 
     # Sheen: grazing-angle white lobe, dielectric only.
     fsheen = sheen * _schlick5(v_h) * (f32(1.0) - metallic)
@@ -182,7 +211,7 @@ def eval_disney(nx, ny, nz, wox, woy, woz, wix, wiy, wiz,
 
 def sample_disney(u_lobe, u1, u2, nx, ny, nz, tangent, bitangent,
                   wox, woy, woz, base_r, base_g, base_b, roughness,
-                  metallic, specular, sheen):
+                  metallic, specular, sheen, subsurface):
     """Sample the metallic-weighted cosine/GGX mixture; returns
     (wix, wiy, wiz, w_r, w_g, w_b, pdf) with w = f * cos / pdf."""
     from l2n_tpu.maths.sampling import (
@@ -217,7 +246,8 @@ def sample_disney(u_lobe, u1, u2, nx, ny, nz, tangent, bitangent,
 
     f_r, f_g, f_b, pdf = eval_disney(
         nx, ny, nz, wox, woy, woz, wix, wiy, wiz,
-        base_r, base_g, base_b, roughness, metallic, specular, sheen)
+        base_r, base_g, base_b, roughness, metallic, specular, sheen,
+        subsurface)
     n_l = jnp.maximum(dot3(nx, ny, nz, wix, wiy, wiz), f32(0.0))
     scale = n_l / jnp.maximum(pdf, f32(1e-12))
     ok = pdf > 0.0

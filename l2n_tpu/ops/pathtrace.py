@@ -249,20 +249,21 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
         u1, u2 = sampler.draw2(mask=diffuse)
         u_lobe = sampler.draw1(mask=diffuse)
         if cfg.material_mode == "disney":
-            metal, spec, sheen = procedural_disney_params(index)
+            metal, spec, sheen, subsurf = procedural_disney_params(index)
             (wdx, wdy, wdz, w_r, w_g, w_b, pdf_b) = sample_disney(
                 u_lobe, u1, u2, nhx, nhy, nhz, tangent, bitangent,
-                wox, woy, woz, kd_r, kd_g, kd_b, rough, metal, spec, sheen)
+                wox, woy, woz, kd_r, kd_g, kd_b, rough, metal, spec, sheen,
+                subsurf)
             if use_nee:
                 def brdf_eval(lx, ly, lz, _n=(nhx, nhy, nhz),
                               _wo=(wox, woy, woz),
                               _kd=(kd_r, kd_g, kd_b), _ro=rough,
-                              _ds=(metal, spec, sheen)):
+                              _ds=(metal, spec, sheen, subsurf)):
                     return eval_disney(_n[0], _n[1], _n[2],
                                        _wo[0], _wo[1], _wo[2],
                                        lx, ly, lz,
                                        _kd[0], _kd[1], _kd[2], _ro,
-                                       _ds[0], _ds[1], _ds[2])
+                                       _ds[0], _ds[1], _ds[2], _ds[3])
         else:
             (wdx, wdy, wdz, w_r, w_g, w_b, pdf_b) = sample_brdf(
                 u_lobe, u1, u2, nhx, nhy, nhz, tangent, bitangent,
