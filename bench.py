@@ -293,6 +293,27 @@ def main() -> None:
 
     detail = {k: v for k, v in head.items()
               if k not in ("on_tpu", "mrays_per_sec")}
+    # VERDICT r2 item 2: measured deltas of both candidate designs for
+    # closing the last ~5% to 1 Gray/s, plus the quantified roofline.
+    # Full protocol + numbers: benchmarks/PROFILE.md ("Round-3: the
+    # 1 Gray/s gap, quantified") and benchmarks/bounce_union.py.
+    detail["roofline"] = {
+        "bounce_origin_cull": {
+            "block_union_density_mean": 0.406,
+            "block_union_density_p10": 0.214,
+            "per_lane_density": 0.26,
+            "verdict": "cull machinery ~1us/block exceeds the whole "
+                       "bounce region (0.76us/tile-spp); sphere bound "
+                       "test == intersection test, so per-candidate "
+                       "culling saves nothing",
+        },
+        "mxu_sweep": {
+            "isolated_speedup": 1.25,
+            "verdict": "isolation artifact: in-kernel VPU sweep is ~3x "
+                       "the isolated baseline and already issue-bound; "
+                       "breaks exact parity of c for no in-kernel gain",
+        },
+    }
     on_tpu = head.get("on_tpu", False)
     secondaries = ["threefry", "triangle", "obj"] if on_tpu else []
     for name in secondaries:
