@@ -76,7 +76,7 @@ _N_ROWS = 24
 import os as _os
 
 _SLAB = int(_os.environ.get("L2N_TRI_SLAB", "128"))
-_SUBS = 8
+_SUBS = int(_os.environ.get("L2N_TRI_SUBS", "8"))
 _SUBSIZE = _SLAB // _SUBS
 
 
