@@ -178,6 +178,35 @@ class TestShardedTriangle:
         assert (diff > 1e-3).mean() < 1e-3
 
 
+class TestShardedObjScene:
+    """Multi-chip x arbitrary imported geometry: the slab-walk kernel
+    (multi-slab tori, no procedural shortcuts) per shard inside shard_map
+    must agree with the sharded oracle step."""
+
+    def test_pallas_backend_matches_xla_backend(self):
+        from l2n_tpu.parallel.step import build_sharded_step, init_sharded_state
+        from l2n_tpu.scene.obj import load_obj
+        from l2n_tpu.scene.procgen import torus_field_obj
+        cfg = RenderConfig(width=256, height=128, tile_width=128,
+                           tile_height=32, tiles_per_step=1,
+                           scene_kind="triangle").validate()
+        mesh = make_device_mesh(4, 2)
+        scene = load_obj(torus_field_obj(n_tori=2, seg_u=16, seg_v=10,
+                                         world_size=512.0))
+        cam = Camera.from_config(cfg)
+        accums = {}
+        for be in ("xla", "pallas"):
+            step = build_sharded_step(cfg, scene, mesh, backend=be)
+            st = init_sharded_state(cfg, mesh)
+            for _ in range(2):
+                st = step(st, cam.packed())
+            accums[be] = np.asarray(st.accum)
+        a, b = accums["xla"], accums["pallas"]
+        np.testing.assert_array_equal(a[:, 3], b[:, 3])
+        diff = np.abs(a - b)
+        assert (diff > 1e-3).mean() < 1e-3
+
+
 class TestShardedCheckpoint:
     """Sharded session checkpoint + bit-exact resume — r1 VERDICT item 6."""
 
