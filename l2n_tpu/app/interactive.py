@@ -160,7 +160,11 @@ class InteractiveApp:
     switches (shape-compatible)."""
 
     def __init__(self, cfg: RenderConfig | None = None,
-                 workdir: str | Path = ".", backend: str = "auto"):
+                 workdir: str | Path = ".", backend: str = "auto",
+                 triangle_scene=None):
+        """`triangle_scene` pre-seeds the trianglePT renderer's scene —
+        e.g. an OBJ file via scene.obj.load_obj — and makes it the
+        startup renderer (mirrors application.py's --obj)."""
         self.cfg = (cfg or RenderConfig()).validate()
         self.workdir = Path(workdir)
         self.backend = backend
@@ -168,6 +172,10 @@ class InteractiveApp:
         self._scenes: dict[str, object] = {}
         self.tiles_per_step = self.cfg.effective_tiles_per_step
         name = "spherePT"
+        if triangle_scene is not None:
+            self._scenes["trianglePT"] = triangle_scene
+            self.cfg = self.cfg.replace(scene_kind="triangle").validate()
+            name = "trianglePT"
         self.renderer = Renderer({name: self._program(name)}, name)
         self.controller = ViewController(
             speed=self.cfg.world_size / 10.0,
@@ -267,11 +275,18 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover
     p.add_argument("--config", type=Path, help="RenderConfig JSON file")
     p.add_argument("--backend", default="auto")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--obj", type=Path, default=None,
+                   help="view this OBJ file with the triangle renderer")
     args = p.parse_args(argv)
 
     cfg = (RenderConfig.from_json(args.config.read_text())
            if args.config else RenderConfig())
-    app = InteractiveApp(cfg, backend=args.backend)
+    triangle_scene = None
+    if args.obj is not None:
+        from l2n_tpu.scene.obj import load_obj
+        triangle_scene = load_obj(args.obj)
+    app = InteractiveApp(cfg, backend=args.backend,
+                         triangle_scene=triangle_scene)
     display = AnsiDisplay()
     with TerminalInput() as term:
         app.run(display, term.poll, max_frames=args.max_frames)

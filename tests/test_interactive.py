@@ -96,6 +96,24 @@ class TestInteractiveApp:
         assert (tmp_path / "l2n_cache.json").exists()
         assert "tiles/step" in capsys.readouterr().out
 
+    def test_obj_scene_startup(self, tmp_path):
+        """--obj analog: a pre-seeded triangle scene makes trianglePT the
+        startup renderer and survives a renderer round-trip."""
+        from l2n_tpu.scene.obj import load_obj
+        from l2n_tpu.scene.procgen import torus_field_obj
+        scene = load_obj(torus_field_obj(n_tori=2, seg_u=8, seg_v=6,
+                                         world_size=256.0))
+        app = InteractiveApp(_tiny_cfg(), workdir=tmp_path, backend="xla",
+                             triangle_scene=scene)
+        assert app.renderer.current == "trianglePT"
+        assert app.renderer.program.scene is scene
+        st0 = app.renderer.step(app.camera)
+        assert float(np.asarray(st0.accum[3]).max()) > 0
+        app.switch_renderer()            # -> spherePT
+        assert app.renderer.current == "spherePT"
+        app.switch_renderer()            # back, same imported scene
+        assert app.renderer.program.scene is scene
+
     def test_tiles_per_step_preserves_accumulation(self, tmp_path):
         app = InteractiveApp(_tiny_cfg(), workdir=tmp_path, backend="xla")
         app.renderer.step(app.camera)
