@@ -120,7 +120,9 @@ class RenderConfig:
     # 4 * world_size) — with an infinite homogeneous medium the sky would
     # be unreachable. 0 density = off, bit-identical to no-fog tracing
     # (the fog draws are gated at trace time). Requires a stateless
-    # sampler; NEE/MIS and the wavefront split don't support media.
+    # sampler. Composes with NEE (analytic exp(-sigma*d) shadow
+    # transmittance, ops/nee.py); fog+NEE+MIS and fog+wavefront remain
+    # gated (validate() explains each).
     fog_density: float = 0.0      # sigma_t per world unit
     fog_albedo: float = 0.9       # sigma_s / sigma_t (scatter fraction)
     fog_sky_distance: float = 0.0  # 0 = auto (4 * world_size)
@@ -276,7 +278,13 @@ class RenderConfig:
                     "their vertex non-emissive via the index sentinel 1, "
                     "which must not be an emissive index")
             if self.wavefront:
-                raise ValueError("fog + wavefront is unsupported")
+                raise ValueError(
+                    "fog + wavefront is unsupported: the wavefront split "
+                    "is a documented 26x-slower negative result kept for "
+                    "the record (ops/kernels/wavefront.py docstring); "
+                    "fog's collision sampling would split the vertex "
+                    "resolve across its pass A/B boundary for a path "
+                    "nobody should run — use the single-pass kernels")
         return self
 
     # JSON round-trip ----------------------------------------------------------
