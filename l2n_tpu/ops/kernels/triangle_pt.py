@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from l2n_tpu.camera.camera import ROW_PROJ
 from l2n_tpu.ops.kernels import register_kernel
 from l2n_tpu.ops.kernels.common import (
     accumulate_and_tonemap,
@@ -105,6 +106,131 @@ def _bsphere(pts: np.ndarray) -> tuple[np.ndarray, float]:
     return center, r2
 
 
+# Interior certain-hit balls per mesh (see _interior_balls).
+_BALLS = int(_os.environ.get("L2N_TRI_BALLS", "8"))
+
+
+def _point_tri_dist(p: np.ndarray, a: np.ndarray, b: np.ndarray,
+                    c: np.ndarray) -> np.ndarray:
+    """Exact point-to-triangle distances, batched: p (C,3) x tris (n,3)
+    -> (C,n). Min of the in-face plane distance and the three edge-segment
+    distances (which cover the vertex regions)."""
+    def seg(p, a, d):  # p (C,3), a (n,3), d (n,3) -> (C,n)
+        ap = p[:, None, :] - a[None, :, :]
+        t = np.clip((ap * d).sum(-1)
+                    / np.maximum((d * d).sum(-1), 1e-30), 0.0, 1.0)
+        q = ap - t[..., None] * d
+        return np.sqrt((q * q).sum(-1))
+
+    ab, ac, bc = b - a, c - a, c - b
+    n = np.cross(ab, ac)
+    nn = np.maximum((n * n).sum(-1), 1e-30)
+    ap = p[:, None, :] - a[None, :, :]
+    dist_n = (ap * n).sum(-1) / np.sqrt(nn)
+    # Barycentric coords of the plane projection.
+    d00 = (ab * ab).sum(-1)
+    d01 = (ab * ac).sum(-1)
+    d11 = (ac * ac).sum(-1)
+    d20 = (ap * ab).sum(-1)
+    d21 = (ap * ac).sum(-1)
+    denom = np.maximum(d00 * d11 - d01 * d01, 1e-30)
+    v = (d11 * d20 - d01 * d21) / denom
+    w = (d00 * d21 - d01 * d20) / denom
+    inside = (v >= 0.0) & (w >= 0.0) & (v + w <= 1.0)
+    edge = np.minimum(np.minimum(seg(p, a, ab), seg(p, a, ac)),
+                      seg(p, b, bc))
+    return np.where(inside, np.abs(dist_n), edge)
+
+
+def _solid_angle_inside(p: np.ndarray, a: np.ndarray, b: np.ndarray,
+                        c: np.ndarray) -> np.ndarray:
+    """True per candidate point (C,3) iff the summed signed solid angle of
+    the closed mesh (tris (n,3) x3) around it is ~4pi (inside the solid).
+    van Oosterom-Strackee, same formulation as the inscribed-sphere test."""
+    ra = a[None] - p[:, None]
+    rb = b[None] - p[:, None]
+    rc = c[None] - p[:, None]
+    la = np.linalg.norm(ra, axis=-1)
+    lb = np.linalg.norm(rb, axis=-1)
+    lc = np.linalg.norm(rc, axis=-1)
+    num = (ra * np.cross(rb, rc)).sum(-1)
+    den = (la * lb * lc + (ra * rb).sum(-1) * lc
+           + (ra * rc).sum(-1) * lb + (rb * rc).sum(-1) * la)
+    omega = 2.0 * np.arctan2(num, den)
+    area2 = np.linalg.norm(np.cross(rb - ra, rc - ra), axis=-1)
+    total = np.where(area2 > 1e-12, omega, 0.0).sum(-1)
+    return np.abs(np.abs(total) - 4.0 * np.pi) < 1e-2
+
+
+def _interior_balls(v1, v2, v3, sub_centers, sub_radii) -> np.ndarray:
+    """Up to _BALLS certain-hit balls strictly inside one closed mesh.
+
+    A ball fully contained in a closed mesh's solid bounds the nearest
+    surface hit of any outside-origin ray that crosses it: the ray passes
+    from outside the solid to an interior point, so it crosses the surface
+    no later than ball entry. This generalizes the central inscribed
+    sphere (inner_gap) to meshes whose bound center lies OUTSIDE the
+    solid — a torus's center sits in its hole, so the central shortcut
+    never fires and bounce/any-hit walks had no upper bound at all on
+    such scenes (the r2 wishlist analog of a BVH's internal occupancy).
+
+    Candidates: sub-cluster centroids stepped inward along the mean
+    inward surface normal at several depths; kept if the solid-angle test
+    says inside and the exact point-triangle distance gives a positive
+    radius (shrunk 1e-3 for strict containment); greedily selected
+    largest-first with a spread constraint. Returns (K, 4) [cx cy cz r2],
+    dead entries r2 = -1.
+    """
+    out = np.full((_BALLS, 4), -1.0, np.float32)
+    n_geo = np.cross(v2 - v1, v3 - v1)
+    ln = np.linalg.norm(n_geo, axis=1, keepdims=True)
+    ok = ln[:, 0] > 1e-12
+    if not ok.any():
+        return out
+    # Orient: signed volume > 0 <=> cross(e1,e2) points outward.
+    vol6 = float((v1 * np.cross(v2, v3)).sum())
+    sign = 1.0 if vol6 > 0.0 else -1.0
+    cents = (v1 + v2 + v3) / 3.0
+    normals = sign * n_geo / np.maximum(ln, 1e-30)
+
+    # Mean inward normal per sub-cluster candidate seed.
+    cand = []
+    for sc, sr in zip(sub_centers, sub_radii):
+        d2 = ((cents - sc) ** 2).sum(1)
+        near = d2 <= max(sr, 1e-6) ** 2 * 4.0
+        if not near.any():
+            continue
+        inward = -normals[near].mean(0)
+        nl = np.linalg.norm(inward)
+        if nl < 1e-6:
+            continue
+        inward /= nl
+        base = cents[near].mean(0)
+        for h in (0.35, 0.7, 1.4):
+            cand.append(base + inward * (h * max(sr, 1e-6)))
+    if not cand:
+        return out
+    p = np.asarray(cand, np.float64)
+    inside = _solid_angle_inside(p, v1, v2, v3)
+    if not inside.any():
+        return out
+    p = p[inside]
+    radii = _point_tri_dist(p, v1, v2, v3).min(-1) * (1.0 - 1e-3)
+    good = radii > 1e-6
+    p, radii = p[good], radii[good]
+    order = np.argsort(-radii)
+    chosen: list[int] = []
+    for i in order:
+        if len(chosen) >= _BALLS:
+            break
+        if all(np.linalg.norm(p[i] - p[j]) > 0.7 * max(radii[i], radii[j])
+               for j in chosen):
+            chosen.append(int(i))
+    for k, i in enumerate(chosen):
+        out[k] = [p[i, 0], p[i, 1], p[i, 2], radii[i] * radii[i]]
+    return out
+
+
 def pack_mesh_blocks(
         scene: TriangleScene) -> tuple[np.ndarray, np.ndarray, bool]:
     """Pack the soup into per-mesh slab blocks + bounding spheres.
@@ -112,7 +238,9 @@ def pack_mesh_blocks(
     Returns (blocks (M, 24, Tpad) f32, bounds (M, 4) f32 [cx cy cz r^2],
     slab_bounds (M, S, 5) f32 [cx cy cz r^2 r], sub_bounds
     (M, S, _SUBS, 5) f32, slab_count (M,) i32, inner_gap (M,) f32,
-    sphere_normals), where S = Tpad // _SLAB. Triangles are spatially
+    sphere_normals, balls (M, _BALLS, 4) f32 — interior certain-hit
+    balls, dead entries r^2 = -1, see _interior_balls), where
+    S = Tpad // _SLAB. Triangles are spatially
     sorted within each mesh (see _spatial_order) so each consecutive
     128-triangle slab — and each 16-triangle sub-run — is spatially
     compact. Padding triangles are all-zero (degenerate -> det = 0 ->
@@ -230,6 +358,29 @@ def pack_mesh_blocks(
         if r_in > 0.0:
             inner_gap[m] = bounds[m, 3] - r_in * r_in
 
+    # Interior certain-hit balls for meshes the central inscribed sphere
+    # serves poorly (e.g. tori, whose bound center sits in the hole).
+    # Meshes with a strong central sphere (r_in >= 0.5 r_out — tessellated
+    # spheres have r_in ~ r_out) skip ball construction, so sphere scenes
+    # pay zero extra unrolled kernel work (dead balls are dropped at trace
+    # time, build_triangle_call).
+    balls = np.full((m_count, _BALLS, 4), -1.0, np.float32)
+    for m in range(m_count):
+        if inner_gap[m] < 2e30 and \
+                bounds[m, 3] - inner_gap[m] >= 0.25 * bounds[m, 3]:
+            continue
+        sel = np.flatnonzero(mesh_id == m)
+        if len(sel) == 0:
+            continue
+        v1 = np.stack([soup[f"v1{a}"][sel] for a in "xyz"], 1).astype(
+            np.float64)
+        v2 = v1 + np.stack([soup[f"e1{a}"][sel] for a in "xyz"], 1)
+        v3 = v1 + np.stack([soup[f"e2{a}"][sel] for a in "xyz"], 1)
+        live = sub_bounds[m, :, :, 3].reshape(-1) > 0
+        sub_c = sub_bounds[m].reshape(-1, 5)[live, :3].astype(np.float64)
+        sub_r = sub_bounds[m].reshape(-1, 5)[live, 4].astype(np.float64)
+        balls[m] = _interior_balls(v1, v2, v3, sub_c, sub_r)
+
     # Sphere-normal detection (see docstring): per corner k of every
     # triangle, normal_k == (vertex_k - center_m) / r_m within tolerance.
     sphere_normals = True
@@ -254,7 +405,7 @@ def pack_mesh_blocks(
         if not sphere_normals:
             break
     return (blocks, bounds, slab_bounds, sub_bounds, slab_count, inner_gap,
-            sphere_normals)
+            sphere_normals, balls)
 
 
 def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, start, count,
@@ -406,18 +557,19 @@ def _bound_enter(ox, oy, oz, dx, dy, dz, cx, cy, cz, r2):
     return enter, hb, c
 
 
-def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, *refs):
+def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
+            *refs):
     if not cfg.rng_stateful:
         (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
-         br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, gap_ref, tcx_ref,
-         tcy_ref, tcz_ref, tr_ref, blocks_hbm, accum_in, _out_in,
+         br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, gap_ref, balls_ref,
+         tcx_ref, tcy_ref, tcz_ref, tr_ref, blocks_hbm, accum_in, _out_in,
          accum_out, out_out, smem_blk, dma_sem, best_f, best_i,
          flags_vmem, flags_ref, wlist_ref) = refs
         rng_in = rng_out = None
     else:
         (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
-         br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, gap_ref, tcx_ref,
-         tcy_ref, tcz_ref, tr_ref, blocks_hbm, accum_in, _out_in,
+         br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, gap_ref, balls_ref,
+         tcx_ref, tcy_ref, tcz_ref, tr_ref, blocks_hbm, accum_in, _out_in,
          rng_in, accum_out, out_out, rng_out, smem_blk, dma_sem, best_f,
          best_i, flags_vmem, flags_ref, wlist_ref) = refs
 
@@ -427,7 +579,17 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, *refs):
     tile_x = sched_ref[i, 0]
     tile_y = sched_ref[i, 1]
     tid = tile_y * jnp.int32(cfg.tile_count_x) + tile_x
+    # Slab-sharding extras (zero on a single chip; see camera.py layout and
+    # the identical lines in sphere_pt._kernel): row_offset globalizes the
+    # framebuffer row for ray-gen + RNG keying on a tile-axis shard; stream
+    # decorrelates sample-axis replicas. (Before r3 the triangle kernel
+    # ignored both — every tile shard rendered the TOP slab and every
+    # sample replica drew identical samples; masked by a sharded test that
+    # compared all-black images, see tests/test_parallel.py.)
+    row_offset = cam_ref[ROW_PROJ, 2].astype(jnp.int32)
+    stream = cam_ref[ROW_PROJ, 3].astype(jnp.int32).astype(jnp.uint32)
     row, col = tile_pixel_coords(cfg, tile_x, tile_y)
+    row = row + row_offset  # global framebuffer row
     pixel_index = (col + row * jnp.int32(cfg.padded_width)).astype(jnp.uint32)
     # Scalar: counts are tile-uniform (see sphere_pt), and tpu_hw seeds on it.
     sample_index = accum_in[3, 0, 0].astype(jnp.int32).astype(jnp.uint32)
@@ -778,6 +940,26 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, *refs):
             ub = jnp.where(crossing, t_in,
                            jnp.where(c_in < 0.0, t_exit, big_))
             t_ub = jnp.minimum(t_ub, ub)
+            # Interior certain-hit balls (meshes the central inscribed
+            # sphere serves poorly, e.g. tori — see _interior_balls): a
+            # ray crossing a ball strictly inside the closed solid hits
+            # the surface no later than ball entry; an origin inside a
+            # ball (fp-crack corner) is bounded by the OUTER bound's exit
+            # (it is inside the solid, mirroring the c_in < 0 case above).
+            for kb in mesh_balls[m]:
+                base = (m * _BALLS + kb) * 4
+                rbx = ox - balls_ref[base]
+                rby = oy - balls_ref[base + 1]
+                rbz = oz - balls_ref[base + 2]
+                hb_b = rbx * dx + rby * dy + rbz * dz
+                c_b = (rbx * rbx + rby * rby + rbz * rbz
+                       - balls_ref[base + 3])
+                disc_b = hb_b * hb_b - c_b  # NaN for parked lanes -> False
+                cross_b = (hb_b < 0.0) & (disc_b >= 0.0) & (c_b >= 0.0)
+                t_in_b = -hb_b - jnp.sqrt(jnp.maximum(disc_b, f32(0.0)))
+                ub = jnp.where(cross_b, t_in_b,
+                               jnp.where(c_b < 0.0, t_exit, big_))
+                t_ub = jnp.minimum(t_ub, ub)
         seed = t_ub * f32(1.0 + 4e-6) + f32(1e-5)
         best_f[0] = seed
 
@@ -817,6 +999,20 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, *refs):
             c_in = c + gap_ref[m]
             cross = (c_in < 0.0) | ((hb < 0.0) & (hb * hb - c_in >= 0.0))
             acc = acc | cross.astype(jnp.int32)
+            # Interior balls: crossing (or starting inside) any ball
+            # strictly inside the closed solid certifies a surface hit —
+            # the torus analog of the inscribed-sphere shortcut above.
+            for kb in mesh_balls[m]:
+                base = (m * _BALLS + kb) * 4
+                rbx = ox - balls_ref[base]
+                rby = oy - balls_ref[base + 1]
+                rbz = oz - balls_ref[base + 2]
+                hb_b = rbx * dx + rby * dy + rbz * dz
+                c_b = (rbx * rbx + rby * rby + rbz * rbz
+                       - balls_ref[base + 3])
+                cross_b = (c_b < 0.0) | ((hb_b < 0.0)
+                                         & (hb_b * hb_b - c_b >= 0.0))
+                acc = acc | cross_b.astype(jnp.int32)
         best_i[0] = acc
         uncertain = acc == 0
         n_work = _flag_items(lambda enter, lower: uncertain & enter,
@@ -841,7 +1037,8 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, *refs):
     finalize = lambda: None
     for s in range(cfg.spp_per_step):
         sampler, finalize = make_kernel_sampler(
-            cfg, pixel_index, sample_index + jnp.uint32(s), rng_in, rng_out)
+            cfg, pixel_index, sample_index + jnp.uint32(s), rng_in, rng_out,
+            stream=stream)
         u1, u2 = sampler.draw2()
         rays = generate_rays(cfg, cam_ref, col.astype(f32), row.astype(f32),
                              u1, u2)
@@ -868,9 +1065,10 @@ def build_triangle_call(cfg, scene: TriangleScene):
 
     Returns (call, aux); call(sched (K,2) i32, vis_table (tile_count,1+M)
     i32 in tile-id order, camera (10,4) f32, order (M,) i32, bcx, bcy, bcz,
-    br2, brad (M,) f32, slab_bounds (M,S,5) f32, sub_bounds (M,S,8,5) f32,
-    slab_count (M,) i32, inner_gap (M,) f32, blocks
-    HBM, accum, output[, rng_state]).
+    br2, brad (M,) f32, slab_bounds flat (M*S*5,) f32, sub_bounds flat
+    (M*S*8*5,) f32, slab_count (M,) i32, inner_gap (M,) f32, balls flat
+    (M*_BALLS*4,) f32, tess centers/radii (M,) x4, blocks
+    VMEM, accum, output[, rng_state]).
     """
     th, tw = cfg.tile_height, cfg.tile_width
     hp, wp = cfg.padded_height, cfg.padded_width
@@ -879,7 +1077,7 @@ def build_triangle_call(cfg, scene: TriangleScene):
     rng_planes = 8 if cfg.rng == "tinymt" else 4
 
     (blocks_np, bounds_np, slab_np, sub_np, scount_np, inner_gap_np,
-     sphere_normals) = pack_mesh_blocks(scene)
+     sphere_normals, balls_np) = pack_mesh_blocks(scene)
     # Fast (t, mesh)-only sweeps apply when normals are recoverable from
     # mesh centers and no AOV needs texcoords/barycentrics.
     fast = sphere_normals and cfg.aov not in ("tex_coords", "param_uv")
@@ -916,6 +1114,13 @@ def build_triangle_call(cfg, scene: TriangleScene):
     # Static non-empty (mesh, slab) work items (flag-pass unroll list).
     items = tuple((m, s) for m in range(mesh_count)
                   for s in range(int(scount_np[m])))
+    # Live interior certain-hit balls, grouped per mesh (trace-time static:
+    # sphere scenes have none and pay zero unrolled work; see
+    # _interior_balls). Flat (M*_BALLS*4,) SMEM layout.
+    mesh_balls = tuple(
+        tuple(k for k in range(_BALLS) if balls_np[m, k, 3] > 0.0)
+        for m in range(mesh_count))
+    balls = jnp.asarray(balls_np).reshape(-1)
 
     # The cone-cull table machinery is shared with the sphere kernel: mesh
     # bounding spheres ARE spheres.
@@ -953,6 +1158,7 @@ def build_triangle_call(cfg, scene: TriangleScene):
                 smem(),                          # sub bounds flat (M*S*8*5,)
                 smem(),                          # slab counts (M,)
                 smem(),                          # inner_gap (M,)
+                smem(),                          # interior balls flat (M*K*4,)
                 smem(), smem(), smem(), smem(),  # tess centers + radii (M,)
                 # Triangle blocks stay RESIDENT IN VMEM (3 MB for the
                 # reference scene): per-mesh staging copies are then
@@ -965,12 +1171,12 @@ def build_triangle_call(cfg, scene: TriangleScene):
     out_specs = [tile_map(4), tile_map(3)]
     out_shape = [jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
                  jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)]
-    aliases = {18: 0, 19: 1}  # indices include the 2 scalar-prefetch operands
+    aliases = {19: 0, 20: 1}  # indices include the 2 scalar-prefetch operands
     if stateful:
         in_specs.append(tile_map(rng_planes))
         out_specs.append(tile_map(rng_planes))
         out_shape.append(jax.ShapeDtypeStruct((rng_planes, hp, wp), jnp.uint32))
-        aliases[20] = 2
+        aliases[21] = 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -991,7 +1197,8 @@ def build_triangle_call(cfg, scene: TriangleScene):
     )
 
     call = pl.pallas_call(
-        partial(_kernel, cfg, mesh_count, tpad, fast, shellwalk_cfg, items),
+        partial(_kernel, cfg, mesh_count, tpad, fast, shellwalk_cfg, items,
+                mesh_balls),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
@@ -1000,9 +1207,9 @@ def build_triangle_call(cfg, scene: TriangleScene):
     aux = SimpleNamespace(
         bounds=bounds, bradius=bradius,
         slab=(slab_bounds, sub_bounds, slab_count), inner_gap=inner_gap,
-        tess=tc, blocks=blocks, mesh_count=mesh_count, table_fn=table_fn,
-        mesh_order=mesh_order, stateful=stateful, fast=fast,
-        shellwalk=shellwalk_cfg is not None)
+        balls=balls, tess=tc, blocks=blocks, mesh_count=mesh_count,
+        table_fn=table_fn, mesh_order=mesh_order, stateful=stateful,
+        fast=fast, shellwalk=shellwalk_cfg is not None)
     return call, aux
 
 
@@ -1019,7 +1226,7 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
     def kernel_step(state: FrameState, camera, table, order) -> FrameState:
         sched = scheduled_tiles(tile_array, state.tile_offset, k)
         args = [sched, table, camera, order, *aux.bounds, aux.bradius,
-                *aux.slab, aux.inner_gap, *aux.tess, aux.blocks,
+                *aux.slab, aux.inner_gap, aux.balls, *aux.tess, aux.blocks,
                 state.accum, state.output]
         if aux.stateful:
             args.append(state.rng_state)

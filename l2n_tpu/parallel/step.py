@@ -144,7 +144,8 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
         else:
             accum, output = pallas_call_local(
                 sched, table_l, cam, order, *tri_aux.bounds, tri_aux.bradius,
-                *tri_aux.slab, tri_aux.inner_gap, *tri_aux.tess,
+                *tri_aux.slab, tri_aux.inner_gap, tri_aux.balls,
+                *tri_aux.tess,
                 tri_aux.blocks,
                 local.accum, local.output)
         return FrameState(

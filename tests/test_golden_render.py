@@ -21,18 +21,27 @@ from l2n_tpu.scene import compute_spheres
 GOLDEN_PATH = Path(__file__).parent / "golden" / "sphere_pt_256x128_4spp.npz"
 
 
+def _load_golden(path):
+    """(cfg, accum, view_matrix | None). `view_matrix` is optional in the
+    npz: goldens whose default camera shows too little geometry pin an
+    aimed camera instead (a near-black golden gates almost nothing —
+    the round-3 sharded-triangle row_offset bug hid behind one)."""
+    with np.load(path) as data:
+        cfg = RenderConfig.from_json(bytes(data["config"]).decode())
+        vm = data["view_matrix"] if "view_matrix" in data.files else None
+        return cfg, data["accum"], vm
+
+
 @pytest.fixture(scope="module")
 def golden():
-    with np.load(GOLDEN_PATH) as data:
-        cfg = RenderConfig.from_json(bytes(data["config"]).decode())
-        return cfg, data["accum"]
+    return _load_golden(GOLDEN_PATH)
 
 
-def render(cfg, backend):
+def render(cfg, backend, vm=None):
     scene = compute_spheres(cfg.sphere_count, cfg.world_size, cfg.scene_seed)
     step = build_render_step(cfg, scene, backend=backend)
     st = init_frame_state(cfg)
-    cam = Camera.from_config(cfg).packed()
+    cam = Camera.from_config(cfg, view_matrix=vm).packed()
     for _ in range(4):
         st = step(st, cam)
     return np.asarray(st.accum)
@@ -40,8 +49,8 @@ def render(cfg, backend):
 
 class TestGoldenRender:
     def test_xla_oracle_bit_stable(self, golden):
-        cfg, want = golden
-        got = render(cfg, "xla")
+        cfg, want, vm = golden
+        got = render(cfg, "xla", vm)
         np.testing.assert_array_equal(got[3], want[3])
         d = np.abs(got - want)
         # Same backend, same seeds: tiny fp drift at most (XLA version/fusion
@@ -54,8 +63,8 @@ class TestGoldenRender:
         FMA fusion vs interpret) touch ~1% of values on this scene; a
         semantic bug (draw mapping, emissive rule, scheduling) moves the
         whole image. Gates sit between the two."""
-        cfg, want = golden
-        got = render(cfg, "pallas")
+        cfg, want, vm = golden
+        got = render(cfg, "pallas", vm)
         np.testing.assert_array_equal(got[3], want[3])
         d = np.abs(got - want)
         assert (d > 1e-3).mean() < 0.03
@@ -68,14 +77,14 @@ class TestGoldenRender:
         if not native.available():
             pytest.skip("no C++ toolchain")
         from l2n_tpu.native import NativeRenderer
-        cfg, want = golden
+        cfg, want, vm = golden
         scene = compute_spheres(cfg.sphere_count, cfg.world_size,
                                 cfg.scene_seed)
         nr = NativeRenderer(cfg, scene.as_numpy(), tile_grid(cfg))
         st = init_frame_state(cfg)
         accum = np.asarray(st.accum).copy()
         output = np.asarray(st.output).copy()
-        cam = Camera.from_config(cfg).packed()
+        cam = Camera.from_config(cfg, view_matrix=vm).packed()
         k = cfg.effective_tiles_per_step
         for i in range(4):
             nr.render_tiles(accum, output, cam,
@@ -93,18 +102,16 @@ TRI_GOLDEN_PATH = Path(__file__).parent / "golden" / "triangle_pt_256x128_4spp.n
 
 @pytest.fixture(scope="module")
 def tri_golden():
-    with np.load(TRI_GOLDEN_PATH) as data:
-        cfg = RenderConfig.from_json(bytes(data["config"]).decode())
-        return cfg, data["accum"]
+    return _load_golden(TRI_GOLDEN_PATH)
 
 
-def render_triangle(cfg, backend):
+def render_triangle(cfg, backend, vm=None):
     from l2n_tpu.scene import build_triangle_scene
     spheres = compute_spheres(cfg.sphere_count, cfg.world_size, cfg.scene_seed)
     scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
     step = build_render_step(cfg, scene, backend=backend)
     st = init_frame_state(cfg)
-    cam = Camera.from_config(cfg).packed()
+    cam = Camera.from_config(cfg, view_matrix=vm).packed()
     for _ in range(4):
         st = step(st, cam)
     return np.asarray(st.accum), scene
@@ -115,16 +122,16 @@ class TestTriangleGoldenRender:
     suite only pinned the sphere scene)."""
 
     def test_xla_oracle_bit_stable(self, tri_golden):
-        cfg, want = tri_golden
-        got, _ = render_triangle(cfg, "xla")
+        cfg, want, vm = tri_golden
+        got, _ = render_triangle(cfg, "xla", vm)
         np.testing.assert_array_equal(got[3], want[3])
         d = np.abs(got - want)
         assert (d > 1e-3).mean() < 1e-3
         assert np.sqrt((d ** 2).mean()) < 1e-3
 
     def test_pallas_matches_golden(self, tri_golden):
-        cfg, want = tri_golden
-        got, _ = render_triangle(cfg, "pallas")
+        cfg, want, vm = tri_golden
+        got, _ = render_triangle(cfg, "pallas", vm)
         np.testing.assert_array_equal(got[3], want[3])
         d = np.abs(got - want)
         assert (d > 1e-3).mean() < 0.03
@@ -138,7 +145,7 @@ class TestTriangleGoldenRender:
             pytest.skip("no C++ toolchain")
         from l2n_tpu.native import NativeTriangleRenderer
         from l2n_tpu.scene import build_triangle_scene
-        cfg, want = tri_golden
+        cfg, want, vm = tri_golden
         spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
                                   cfg.scene_seed)
         scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
@@ -146,7 +153,7 @@ class TestTriangleGoldenRender:
         st = init_frame_state(cfg)
         accum = np.asarray(st.accum).copy()
         output = np.asarray(st.output).copy()
-        cam = Camera.from_config(cfg).packed()
+        cam = Camera.from_config(cfg, view_matrix=vm).packed()
         k = cfg.effective_tiles_per_step
         for i in range(4):
             nr.render_tiles(accum, output, cam,

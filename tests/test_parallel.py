@@ -159,12 +159,16 @@ class TestShardedTriangle:
     def test_pallas_backend_matches_xla_backend(self):
         from l2n_tpu.parallel.step import build_sharded_step, init_sharded_state
         from l2n_tpu.scene import build_triangle_scene, compute_spheres
+        from tests.test_kernels import TestTriangleKernel
         mesh = make_device_mesh(4, 2)
         cfg = self.TRI_CFG
         spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
                                   cfg.scene_seed)
         scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
-        cam = Camera.from_config(cfg)
+        # Aimed camera: the default one sees ~0.05% geometry here, and the
+        # round-3 sharded row_offset/stream bug hid behind the resulting
+        # black-vs-black comparison.
+        cam = TestTriangleKernel.aimed_camera(cfg)
         accums = {}
         for be in ("xla", "pallas"):
             step = build_sharded_step(cfg, scene, mesh, backend=be)
@@ -173,6 +177,7 @@ class TestShardedTriangle:
                 st = step(st, cam.packed())
             accums[be] = np.asarray(st.accum)
         a, b = accums["xla"], accums["pallas"]
+        assert (a[:, :3].max(1) > 0).mean() > 0.05  # real lit coverage
         np.testing.assert_array_equal(a[:, 3], b[:, 3])
         diff = np.abs(a - b)
         assert (diff > 1e-3).mean() < 1e-3
@@ -193,7 +198,18 @@ class TestShardedObjScene:
         mesh = make_device_mesh(4, 2)
         scene = load_obj(torus_field_obj(n_tori=2, seg_u=16, seg_v=10,
                                          world_size=512.0))
-        cam = Camera.from_config(cfg)
+        # Aim at the emissive torus so shards see real hits and light
+        # (the default camera sees only sky here — black-vs-black would
+        # pass vacuously).
+        from l2n_tpu.maths.linalg import look_at
+        verts = np.asarray(scene.vertices).reshape(-1, 3)
+        m0 = verts[:len(verts) // 2]
+        target = m0.mean(0)
+        radius = float(np.linalg.norm(m0 - target, axis=1).max())
+        vm = look_at(target + np.array([0.0, 0.0, 3.5 * radius],
+                                       np.float32),
+                     target, np.array([0.0, 1.0, 0.0], np.float32))
+        cam = Camera.from_config(cfg, view_matrix=vm)
         accums = {}
         for be in ("xla", "pallas"):
             step = build_sharded_step(cfg, scene, mesh, backend=be)
@@ -202,6 +218,7 @@ class TestShardedObjScene:
                 st = step(st, cam.packed())
             accums[be] = np.asarray(st.accum)
         a, b = accums["xla"], accums["pallas"]
+        assert (a[:, :3].max(1) > 0).mean() > 0.05  # real lit coverage
         np.testing.assert_array_equal(a[:, 3], b[:, 3])
         diff = np.abs(a - b)
         assert (diff > 1e-3).mean() < 1e-3
