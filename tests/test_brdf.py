@@ -82,40 +82,82 @@ class TestEnergyAndConsistency:
 
 
 class TestRenderIntegration:
-    def _render(self, backend, cfg):
+    # emissive_every=2 + a camera looking at a non-emissive sphere's lit
+    # face: the default camera saw ~0.1% geometry (and virtually no lit
+    # surface), so the material KERNEL parity comparisons were vacuous
+    # black-vs-black — the BSDF shading never gated anything.
+    MAT_CFG = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=16, tiles_per_step=2,
+                           emissive_every=2).validate()
+
+    @staticmethod
+    def _aimed_camera(cfg):
         from l2n_tpu.camera import Camera
+        from l2n_tpu.maths.linalg import look_at
+        from l2n_tpu.scene import compute_spheres
+        sp = compute_spheres(cfg.sphere_count, cfg.world_size,
+                             cfg.scene_seed)
+        c = np.stack([np.asarray(sp.center_x), np.asarray(sp.center_y),
+                      np.asarray(sp.center_z)], 1)
+        r = np.sqrt(np.asarray(sp.sqr_radius))
+        n = cfg.sphere_count
+        odd = np.arange(1, n, 2)
+        even = np.arange(0, n, 2)
+        dm = np.linalg.norm(c[odd][:, None] - c[even][None], axis=2)
+        oi, ei = np.unravel_index(np.argmin(dm), dm.shape)
+        j, e = odd[oi], even[ei]
+        to_e = c[e] - c[j]
+        to_e /= np.linalg.norm(to_e)
+        eye = c[j] + to_e * 5.0 * r[j]  # between light and target
+        vm = look_at(eye.astype(np.float32), c[j].astype(np.float32),
+                     np.array([0.0, 1.0, 0.0], np.float32))
+        return Camera.from_config(cfg, view_matrix=vm)
+
+    def _render(self, backend, cfg):
         from l2n_tpu.render.program import SphereProgram, TriangleProgram
         from l2n_tpu.render.state import init_frame_state
         cls = (SphereProgram if cfg.scene_kind == "sphere"
                else TriangleProgram)
         prog = cls(cfg, backend=backend)
         st = init_frame_state(cfg)
-        cam = Camera.from_config(cfg).packed()
+        cam = self._aimed_camera(cfg).packed()
         for _ in range(2):
             st = prog.step(st, cam)
         return np.asarray(st.accum)
 
+    @staticmethod
+    def assert_parity(a, b, flip_budget):
+        """Kernel-vs-oracle gates on a LIT frame, split in two: the body of
+        the image (pixels without an intersection-decision flip) must agree
+        to interpret-mode precision, and the flipped pixels — the documented
+        isolated silhouette/grazing divergence class — must stay a bounded
+        fraction. (A single legitimate boundary flip on a path that reached
+        the light moves a raw sum by the full source radiance, so any
+        whole-image RMSE metric is dominated by it at low sample counts.)"""
+        assert (a[:3].max(0) > 0).mean() > 0.3  # real lit coverage
+        d = np.abs(a - b)
+        flip = d.max(0) > 1e-3
+        assert flip.mean() < flip_budget
+        mean_d = np.abs(a[:3] / np.maximum(a[3], 1)
+                        - b[:3] / np.maximum(b[3], 1))[:, ~flip]
+        assert np.sqrt((mean_d ** 2).mean()) < 1e-3
+
     def test_sphere_kernel_parity_microfacet(self):
-        cfg = RenderConfig(width=128, height=64, tile_width=128,
-                           tile_height=32, sphere_count=16, tiles_per_step=2,
-                           material_mode="microfacet").validate()
+        cfg = self.MAT_CFG.replace(material_mode="microfacet")
         a = self._render("xla", cfg)
         b = self._render("pallas", cfg)
-        d = np.abs(a - b)
-        assert np.sqrt((d ** 2).mean()) < 5e-3
-        assert (d > 1e-3).mean() < 2e-3
+        self.assert_parity(a, b, flip_budget=2e-3)  # measured 0.009%
 
     def test_triangle_kernel_parity_microfacet(self):
-        cfg = RenderConfig(width=128, height=64, tile_width=128,
-                           tile_height=32, sphere_count=8, disc_lat=8,
-                           disc_long=4, tiles_per_step=2,
-                           scene_kind="triangle",
-                           material_mode="microfacet").validate()
+        cfg = self.MAT_CFG.replace(sphere_count=8, disc_lat=8, disc_long=4,
+                                   scene_kind="triangle",
+                                   material_mode="microfacet")
         a = self._render("xla", cfg)
         b = self._render("pallas", cfg)
-        d = np.abs(a - b)
-        assert np.sqrt((d ** 2).mean()) < 5e-3
-        assert (d > 1e-3).mean() < 2e-3
+        # measured 0.27%: close-up curved tessellation concentrates the
+        # grazing-ray class (32 lit px, max raw delta 0.13, mean-image
+        # rmse 8.6e-4)
+        self.assert_parity(a, b, flip_budget=8e-3)
 
     def test_nee_consistency_microfacet(self):
         """NEE with the microfacet BRDF eval agrees with the BSDF-only
@@ -350,15 +392,11 @@ class TestDisney:
         assert ss.max() > 0.8
 
     def test_sphere_kernel_parity_disney(self):
-        cfg = RenderConfig(width=128, height=64, tile_width=128,
-                           tile_height=32, sphere_count=16, tiles_per_step=2,
-                           material_mode="disney").validate()
+        cfg = TestRenderIntegration.MAT_CFG.replace(material_mode="disney")
         t = TestRenderIntegration()
         a = t._render("xla", cfg)
         b = t._render("pallas", cfg)
-        d = np.abs(a - b)
-        assert np.sqrt((d ** 2).mean()) < 5e-3
-        assert (d > 1e-3).mean() < 2e-3
+        t.assert_parity(a, b, flip_budget=2e-3)
 
     def test_nee_consistency_disney(self):
         """NEE + MIS with the Disney eval agree with the BSDF-only
