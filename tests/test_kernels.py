@@ -231,13 +231,13 @@ class TestTriangleKernel:
                 bad = cross & (tn > t_in * (1 + 1e-5) + 1e-6)
                 assert not bad.any()
 
-    def test_matches_xla_oracle_obj_multislab(self):
+    def _obj_multislab_parity(self, **cfg_kw):
         """Arbitrary imported geometry (tori: no sphere-exact normals, no
         shellwalk, >128 triangles per mesh => MULTI-slab work lists) through
         the slab-based walk vs the brute-force oracle. Exercises the
-        spatial sort, per-slab DMA staging, sub-cluster gating, and the
-        full-attribute (non-fast) sweep on a scene the procedural
-        shortcuts cannot cover."""
+        spatial sort, per-slab DMA staging, sub-cluster gating, interior
+        certain-hit balls, and the full-attribute (non-fast) sweep on a
+        scene the procedural shortcuts cannot cover."""
         from l2n_tpu.render.program import TriangleProgram
         from l2n_tpu.scene.obj import load_obj
         from l2n_tpu.scene.procgen import torus_field_obj
@@ -249,7 +249,7 @@ class TestTriangleKernel:
         assert pack_mesh_blocks(scene)[0].shape[2] > _SLAB  # multi-slab
         cfg = RenderConfig(width=128, height=64, tile_width=128,
                            tile_height=32, tiles_per_step=1,
-                           scene_kind="triangle").validate()
+                           scene_kind="triangle", **cfg_kw).validate()
         # Aim at the emissive torus (mesh 0, emissive_every) so the frame
         # has real hits, bounces, AND light — the default camera sees only
         # sky here and a black-vs-black comparison would pass vacuously.
@@ -276,6 +276,15 @@ class TestTriangleKernel:
         d = np.abs(acc - np.asarray(sp.accum))
         assert np.sqrt((d ** 2).mean()) < 1e-3
         assert (d > 1e-3).mean() < 1e-3
+
+    def test_matches_xla_oracle_obj_multislab(self):
+        self._obj_multislab_parity()
+
+    def test_matches_xla_oracle_obj_multislab_nee(self):
+        """NEE on the torus field: shadow rays exercise the ball-certified
+        any-hit path and the mesh-bound cone light sampler on arbitrary
+        closed meshes."""
+        self._obj_multislab_parity(nee=True)
 
     def test_pack_mesh_blocks(self):
         from l2n_tpu.ops.kernels.triangle_pt import pack_mesh_blocks
