@@ -9,6 +9,9 @@ kernel at trace time, ops/kernels/triangle_pt.py):
   noflags  walk every (mesh, slab) item — isolates the flag pass's value
   nowalk   flag passes only, no bounce walks — isolates the walk cost
            (NOT image-correct; timing probe only)
+  nodma    skip the VMEM->SMEM slab copies — isolates the synchronous
+           DMA's share (NOT image-correct; decides whether prefetch
+           double-buffering could pay)
 
 Knobs worth sweeping alongside (also trace-time env):
   L2N_TRI_SLAB  slab size (default 128; 256 measured worse: 21.9 vs 17.2)
@@ -80,7 +83,7 @@ def main() -> None:
     print(f"meshes={scene.mesh_count} tris={scene.total_triangles}",
           file=sys.stderr)
     if len(sys.argv) > 1 and sys.argv[1] == "ablate":
-        for tag in ("full", "noflags", "nowalk"):
+        for tag in ("full", "noflags", "nowalk", "nodma"):
             os.environ["L2N_TRI_ABLATE"] = "" if tag == "full" else tag
             measure(tag, cfg, scene)
     else:

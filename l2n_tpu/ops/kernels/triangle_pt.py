@@ -602,6 +602,11 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
         # One (24, 128) lane-aligned slab copy (VMEM-resident blocks ->
         # SMEM staging; a strided attribute sub-slice DMA measured slower
         # than moving the few extra rows).
+        if _os.environ.get("L2N_TRI_ABLATE", "") == "nodma":
+            # Timing probe only (results are garbage: sweeps read stale
+            # SMEM): measures the synchronous copy's share of the walk to
+            # decide whether double-buffered prefetch could pay.
+            return
         cp = pltpu.make_async_copy(
             blocks_hbm.at[m, :, pl.ds(s * _SLAB, _SLAB)], smem_blk, dma_sem)
         cp.start()
