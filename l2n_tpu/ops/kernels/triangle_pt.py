@@ -1083,6 +1083,17 @@ def build_triangle_call(cfg, scene: TriangleScene):
 
     (blocks_np, bounds_np, slab_np, sub_np, scount_np, inner_gap_np,
      sphere_normals, balls_np) = pack_mesh_blocks(scene)
+    # Triangle blocks stay VMEM-resident (see in_specs below); give scenes
+    # that cannot fit a clear error instead of an opaque Mosaic OOM. ~96 MB
+    # of v5e's 128 MB VMEM, leaving room for framebuffer tiles + scratch.
+    blocks_mb = blocks_np.nbytes / 2**20
+    if blocks_mb > 96:
+        raise ValueError(
+            f"triangle scene needs {blocks_mb:.0f} MB of VMEM-resident "
+            f"blocks (~{scene.total_triangles} triangles padded across "
+            f"{blocks_np.shape[0]} meshes); the VMEM-resident design caps "
+            "out near 1M triangles — split the scene into more meshes "
+            "with fewer triangles (padding waste) or shard it (parallel/)")
     # Fast (t, mesh)-only sweeps apply when normals are recoverable from
     # mesh centers and no AOV needs texcoords/barycentrics.
     fast = sphere_normals and cfg.aov not in ("tex_coords", "param_uv")
