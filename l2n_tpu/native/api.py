@@ -15,6 +15,23 @@ _RAY_GEN = {"fovy": 0, "viewproj": 1}
 _AOVS = {"pathtracing": 0, "normal": 1, "hit": 2}
 
 
+def _material_mode(cfg, sphere: bool) -> int:
+    """Native material support: procedural Lambert everywhere; microfacet
+    (GGX+Lambert, brdf.py twin) in the sphere renderer. Disney(lite) stays
+    a JAX-side extension (oracle + kernels cross-check it; a third C++
+    implementation of the 5-parameter principled mixture adds no coverage
+    the two-way gate does not already give)."""
+    mode = getattr(cfg, "material_mode", "procedural")
+    if mode == "procedural":
+        return 0
+    if mode == "microfacet" and sphere:
+        return 1
+    raise NotImplementedError(
+        f"native renderer does not implement material_mode={mode!r} for "
+        f"{'sphere' if sphere else 'triangle'} scenes -- use the oracle or "
+        "Pallas kernels")
+
+
 class _CConfig(ctypes.Structure):
     _fields_ = [
         ("width", ctypes.c_int32), ("height", ctypes.c_int32),
@@ -37,6 +54,7 @@ class _CConfig(ctypes.Structure):
         ("nee", ctypes.c_int32),
         ("normal_map", ctypes.c_float),
         ("normal_map_freq", ctypes.c_float),
+        ("material_mode", ctypes.c_int32),
     ]
 
 
@@ -115,6 +133,7 @@ class NativeRenderer:
             nee=int(cfg.nee),
             normal_map=getattr(cfg, "normal_map", 0.0),
             normal_map_freq=getattr(cfg, "normal_map_freq", 0.35),
+            material_mode=_material_mode(cfg, sphere=True),
         )
 
     def render_tiles(self, accum: np.ndarray, output: np.ndarray,
@@ -207,6 +226,7 @@ class NativeTriangleRenderer:
             nee=int(cfg.nee),
             normal_map=getattr(cfg, "normal_map", 0.0),
             normal_map_freq=getattr(cfg, "normal_map_freq", 0.35),
+            material_mode=_material_mode(cfg, sphere=False),
         )
         # Cone NEE (ops/nee.py) needs the per-mesh bounding spheres; use
         # the same packing as the kernels so the three implementations

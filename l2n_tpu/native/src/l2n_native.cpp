@@ -237,6 +237,85 @@ inline float luminance(V3 c) {
   return 0.212671f * c.x + 0.715160f * c.y + 0.072169f * c.z;
 }
 
+// ---------------------------------------------------------------------------
+// Microfacet BSDF (material_mode == 1): the C++ twin of
+// l2n_tpu/maths/brdf.py (GGX NDF + Smith height-correlated visibility +
+// Schlick Fresnel over a (1 - F) Lambert lobe, sampled as a 50/50
+// cosine/GGX mixture). Same formulas, same epsilons, same draw order
+// (u1, u2 pair then u_lobe) as the JAX sampler so images agree
+// statistically across all three implementations.
+// ---------------------------------------------------------------------------
+
+constexpr float kF0Dielectric = 0.04f;  // brdf.py F0_DIELECTRIC
+
+inline float procedural_roughness_of(int32_t index) {
+  float f = static_cast<float>(index + 1);
+  float v = std::sin(f * 39.425f) * 43758.5453f;
+  return 0.08f + 0.92f * (v - std::floor(v));
+}
+
+struct BrdfVal {
+  V3 f;
+  float pdf;
+};
+
+inline BrdfVal eval_brdf(V3 n, V3 wo, V3 wi, V3 kd, float rough) {
+  float alpha = rough * rough;
+  float alpha2 = alpha * alpha;
+  float n_v = std::max(dot(n, wo), 1e-6f);
+  float n_l = std::max(dot(n, wi), 0.0f);
+  V3 h = normalize(wo + wi);
+  float n_h = std::max(dot(n, h), 0.0f);
+  float v_h = std::max(dot(wo, h), 1e-6f);
+  float dden = n_h * n_h * (alpha2 - 1.0f) + 1.0f;
+  float d = alpha2 / std::max(kPi * dden * dden, 1e-12f);
+  float gv = n_l * std::sqrt(n_v * n_v * (1.0f - alpha2) + alpha2);
+  float gl = n_v * std::sqrt(n_l * n_l * (1.0f - alpha2) + alpha2);
+  float vis = 0.5f / std::max(gv + gl, 1e-12f);
+  float om = std::max(1.0f - v_h, 0.0f);
+  float m2 = om * om;
+  float fr = kF0Dielectric + (1.0f - kF0Dielectric) * (m2 * m2 * om);
+  float spec = d * vis * fr;
+  float kdiff = (1.0f / kPi) * (1.0f - fr);
+  float pdf_cos = n_l * (1.0f / kPi);
+  float pdf_ggx = d * n_h / std::max(4.0f * v_h, 1e-6f);
+  float pdf = 0.5f * (pdf_cos + pdf_ggx);
+  if (!(n_l > 0.0f)) return {{0.0f, 0.0f, 0.0f}, 0.0f};
+  return {{kd.x * kdiff + spec, kd.y * kdiff + spec, kd.z * kdiff + spec},
+          pdf};
+}
+
+// Returns the sampled direction; *w is the estimator weight f*cos/pdf.
+inline V3 sample_brdf(float u_lobe, float u1, float u2, V3 n, V3 t, V3 b,
+                      V3 wo, V3 kd, float rough, V3* w) {
+  float alpha = rough * rough;
+  float alpha2 = alpha * alpha;
+  V3 cl = cosine_hemisphere(u1, u2);
+  V3 a{t.x * cl.x + b.x * cl.y + n.x * cl.z,
+       t.y * cl.x + b.y * cl.y + n.y * cl.z,
+       t.z * cl.x + b.z * cl.y + n.z * cl.z};
+  float cos_h = std::sqrt(std::max(
+      (1.0f - u1) / std::max(1.0f + (alpha2 - 1.0f) * u1, 1e-12f), 0.0f));
+  float sin_h = std::sqrt(std::max(1.0f - cos_h * cos_h, 0.0f));
+  float phi = 2.0f * kPi * u2;
+  float hx = sin_h * std::cos(phi), hy = sin_h * std::sin(phi);
+  V3 hv{t.x * hx + b.x * hy + n.x * cos_h,
+        t.y * hx + b.y * hy + n.y * cos_h,
+        t.z * hx + b.z * hy + n.z * cos_h};
+  float v_h = dot(wo, hv);
+  V3 refl = 2.0f * v_h * hv - wo;
+  V3 wi = normalize(u_lobe < 0.5f ? refl : a);
+  BrdfVal e = eval_brdf(n, wo, wi, kd, rough);
+  float n_l = std::max(dot(n, wi), 0.0f);
+  float scale = n_l / std::max(e.pdf, 1e-12f);
+  if (e.pdf > 0.0f) {
+    *w = {e.f.x * scale, e.f.y * scale, e.f.z * scale};
+  } else {
+    *w = {0.0f, 0.0f, 0.0f};
+  }
+  return wi;
+}
+
 inline float mandelbrot_le(V3 d) {
   float sin_t = std::sqrt(d.x * d.x + d.y * d.y);
   float theta = poly_atan2(sin_t, d.z);
@@ -289,6 +368,7 @@ struct Config {
   int32_t nee;      // next event estimation (threefry only)
   float normal_map;       // procedural bump strength (0 = off)
   float normal_map_freq;  // bump field wavenumber
+  int32_t material_mode;  // 0 procedural Lambert, 1 microfacet (GGX+Lambert)
 };
 
 // Procedural normal mapping (wishlist TODO.md:5) — the C++ twin of
@@ -370,8 +450,24 @@ V3 trace_path(const Config& cfg, const float* spheres, int n, V3 org, V3 dir,
     frame_z(h.n, &t, &b);
     float u1, u2;
     rng->draw2(&u1, &u2);
-    V3 l = cosine_hemisphere(u1, u2);
     V3 kd = albedo_of(h.index);
+    const bool mf = cfg.material_mode == 1;
+    V3 wo = -1.0f * dir;
+    float rough = 0.0f;
+    V3 newdir, bsdf_w;
+    if (mf) {
+      // Draw order mirrors the JAX material branch: (u1, u2) then u_lobe.
+      float u_lobe = rng->draw1();
+      rough = procedural_roughness_of(h.index);
+      newdir = sample_brdf(u_lobe, u1, u2, h.n, t, b, wo, kd, rough,
+                           &bsdf_w);
+    } else {
+      V3 l = cosine_hemisphere(u1, u2);
+      newdir = normalize(V3{t.x * l.x + b.x * l.y + h.n.x * l.z,
+                            t.y * l.x + b.y * l.y + h.n.y * l.z,
+                            t.z * l.x + b.z * l.y + h.n.z * l.z});
+      bsdf_w = kd;
+    }
 
     if (cfg.nee) {
       float u_pick = rng->draw1();
@@ -397,18 +493,21 @@ V3 trace_path(const Config& cfg, const float* spheres, int n, V3 org, V3 dir,
         Hit sh = intersect_scene(spheres, n,
                                  org + cfg.ray_epsilon * ldir, ldir);
         if (sh.index == li) {
-          float w = cfg.emission_scale * n_lights / kPi * cos_s * cos_l /
-                    (d2 > 1e-20f ? d2 : 1e-20f);
-          col = col + V3{tp.x * kd.x * w, tp.y * kd.y * w, tp.z * kd.z * w};
+          // f is kd/pi (Lambert) or the full microfacet eval; the common
+          // factor mirrors nee_contribution (ops/nee.py).
+          float base = cfg.emission_scale * n_lights * cos_s * cos_l /
+                       (d2 > 1e-20f ? d2 : 1e-20f);
+          V3 f = mf ? eval_brdf(h.n, wo, ldir, kd, rough).f
+                    : (1.0f / kPi) * kd;
+          col = col + V3{tp.x * f.x * base, tp.y * f.y * base,
+                         tp.z * f.z * base};
         }
       }
       emission_ok = false;
     }
 
-    dir = normalize(V3{t.x * l.x + b.x * l.y + h.n.x * l.z,
-                       t.y * l.x + b.y * l.y + h.n.y * l.z,
-                       t.z * l.x + b.z * l.y + h.n.z * l.z});
-    tp = {tp.x * kd.x, tp.y * kd.y, tp.z * kd.z};
+    dir = newdir;
+    tp = {tp.x * bsdf_w.x, tp.y * bsdf_w.y, tp.z * bsdf_w.z};
     float rr = rng->draw1();
     float p = luminance(tp);
     if (p > cfg.rr_ceiling) p = cfg.rr_ceiling;

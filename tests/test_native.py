@@ -44,7 +44,7 @@ class TestNativeRng:
 
 
 class TestNativeRenderer:
-    def make(self, rng="threefry", aov="pathtracing"):
+    def make(self, rng="threefry", aov="pathtracing", **cfg_kw):
         from l2n_tpu.config import RenderConfig
         from l2n_tpu.native import NativeRenderer
         from l2n_tpu.render.tiles import tile_grid
@@ -52,13 +52,13 @@ class TestNativeRenderer:
 
         cfg = RenderConfig(width=128, height=64, tile_width=128,
                            tile_height=32, sphere_count=16, tiles_per_step=1,
-                           rng=rng, aov=aov).validate()
+                           rng=rng, aov=aov, **cfg_kw).validate()
         scene = compute_spheres(cfg.sphere_count, cfg.world_size,
                                 cfg.scene_seed)
         tiles = tile_grid(cfg)
         return cfg, scene, NativeRenderer(cfg, scene.as_numpy(), tiles)
 
-    def run_native(self, cfg, nr, steps=2):
+    def run_native(self, cfg, nr, steps=2, cam=None):
         from l2n_tpu.camera import Camera
         from l2n_tpu.render.state import init_frame_state
         st = init_frame_state(cfg)
@@ -66,23 +66,50 @@ class TestNativeRenderer:
         output = np.asarray(st.output).copy()
         rng_state = (np.asarray(st.rng_state).copy()
                      if st.rng_state is not None else None)
-        cam = Camera.from_config(cfg).packed()
+        if cam is None:
+            cam = Camera.from_config(cfg).packed()
         k = cfg.effective_tiles_per_step
         for i in range(steps):
             nr.render_tiles(accum, output, cam, offset=(i * k) % cfg.tile_count,
                             count=k, rng_state=rng_state)
         return accum, output
 
-    def run_oracle(self, cfg, scene, steps=2):
+    def run_oracle(self, cfg, scene, steps=2, cam=None):
         from l2n_tpu.camera import Camera
         from l2n_tpu.render.step import build_render_step
         from l2n_tpu.render.state import init_frame_state
         step = build_render_step(cfg, scene, backend="xla")
         st = init_frame_state(cfg)
-        cam = Camera.from_config(cfg).packed()
+        if cam is None:
+            cam = Camera.from_config(cfg).packed()
         for _ in range(steps):
             st = step(st, cam)
         return np.asarray(st.accum), np.asarray(st.output)
+
+    def test_matches_oracle_microfacet(self):
+        """Third implementation of the microfacet wishlist material: the
+        C++ twin of brdf.py (same formulas, same draw order) on a LIT
+        aimed frame (see test_brdf: the default camera sees almost no lit
+        surface, which would gate nothing)."""
+        from tests.test_brdf import TestRenderIntegration
+        cfg, scene, nr = self.make(material_mode="microfacet",
+                                   emissive_every=2)
+        cam = TestRenderIntegration._aimed_camera(cfg).packed()
+        na, no = self.run_native(cfg, nr, cam=cam)
+        ja, jo = self.run_oracle(cfg, scene, cam=cam)
+        assert (ja[:3].max(0) > 0).mean() > 0.3  # real lit coverage
+        np.testing.assert_array_equal(na[3], ja[3])  # same coverage
+        d = np.abs(na - ja)
+        flip = d.max(0) > 1e-3
+        assert flip.mean() < 8e-3  # isolated decision-boundary class
+        body = np.abs(na[:3] / np.maximum(na[3], 1)
+                      - ja[:3] / np.maximum(ja[3], 1))[:, ~flip]
+        assert np.sqrt((body ** 2).mean()) < 1e-3
+
+    def test_unsupported_material_raises(self):
+        import pytest
+        with pytest.raises(NotImplementedError):
+            self.make(material_mode="disney")
 
     def test_matches_oracle_threefry(self):
         """Same threefry draw addressing + same math => near-identical
