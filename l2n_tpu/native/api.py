@@ -16,20 +16,20 @@ _AOVS = {"pathtracing": 0, "normal": 1, "hit": 2}
 
 
 def _material_mode(cfg, sphere: bool) -> int:
-    """Native material support: procedural Lambert everywhere; microfacet
-    (GGX+Lambert, brdf.py twin) in the sphere renderer. Disney(lite) stays
+    """Native material support: procedural Lambert and microfacet
+    (GGX+Lambert, the brdf.py twin) in both renderers. Disney(lite) stays
     a JAX-side extension (oracle + kernels cross-check it; a third C++
     implementation of the 5-parameter principled mixture adds no coverage
     the two-way gate does not already give)."""
+    del sphere
     mode = getattr(cfg, "material_mode", "procedural")
     if mode == "procedural":
         return 0
-    if mode == "microfacet" and sphere:
+    if mode == "microfacet":
         return 1
     raise NotImplementedError(
-        f"native renderer does not implement material_mode={mode!r} for "
-        f"{'sphere' if sphere else 'triangle'} scenes -- use the oracle or "
-        "Pallas kernels")
+        f"native renderer does not implement material_mode={mode!r} -- "
+        "use the oracle or Pallas kernels")
 
 
 class _CConfig(ctypes.Structure):

@@ -623,12 +623,30 @@ V3 trace_path_generic(const Config& cfg, const SceneT& scene, V3 org, V3 dir,
     }
     org = org + h.t * dir;
     if (cfg.normal_map > 0.0f) h.n = bump_normal(cfg, h.index, org, h.n);
-    V3 t, b;
-    frame_z(h.n, &t, &b);
+    V3 kd = albedo_of(h.index);
+    const bool mf = cfg.material_mode == 1;
+    V3 wo = -1.0f * dir;
+    V3 nn = normalize(h.n);  // material mode shades about the unit normal
+    float rough = 0.0f;
     float u1, u2;
     rng->draw2(&u1, &u2);
-    V3 l = cosine_hemisphere(u1, u2);
-    V3 kd = albedo_of(h.index);
+    V3 newdir, bsdf_w;
+    if (mf) {
+      float u_lobe = rng->draw1();
+      rough = procedural_roughness_of(h.index);
+      V3 t, b;
+      frame_z(nn, &t, &b);
+      newdir = sample_brdf(u_lobe, u1, u2, nn, t, b, wo, kd, rough,
+                           &bsdf_w);
+    } else {
+      V3 t, b;
+      frame_z(h.n, &t, &b);  // reference keeps the unnormalized frame
+      V3 l = cosine_hemisphere(u1, u2);
+      newdir = normalize(V3{t.x * l.x + b.x * l.y + h.n.x * l.z,
+                            t.y * l.x + b.y * l.y + h.n.y * l.z,
+                            t.z * l.x + b.z * l.y + h.n.z * l.z});
+      bsdf_w = kd;
+    }
 
     if (nee) {
       float u_pick = rng->draw1();
@@ -664,23 +682,23 @@ V3 trace_path_generic(const Config& cfg, const SceneT& scene, V3 org, V3 dir,
               ta.z * lx + ba.z * ly + axis.z * cos_t};
       Hit sh = scene.intersect(org + cfg.ray_epsilon * ldir, ldir);
       if (sh.t >= 0.0f && sh.index == li) {
-        V3 nn = normalize(h.n);
         float cos_s = dot(nn, ldir);
         if (cos_s < 0.0f) cos_s = 0.0f;
         // Le = scale/(4 pi * 1): meshes emit with sqrRadius = 1
-        // (triangle_pathtracing.cs.glsl:268); f = kd / pi.
+        // (triangle_pathtracing.cs.glsl:268); f = kd/pi or the full
+        // microfacet eval (nee_cone_contribution's brdf_eval path).
         float wgt = cos_s * (cfg.emission_scale / (4.0f * kPi)) *
-                    static_cast<float>(n_lights) * omega / kPi;
-        col = col + V3{tp.x * kd.x * wgt, tp.y * kd.y * wgt,
-                       tp.z * kd.z * wgt};
+                    static_cast<float>(n_lights) * omega;
+        V3 f = mf ? eval_brdf(nn, wo, ldir, kd, rough).f
+                  : (1.0f / kPi) * kd;
+        col = col + V3{tp.x * f.x * wgt, tp.y * f.y * wgt,
+                       tp.z * f.z * wgt};
       }
       emission_ok = false;
     }
 
-    dir = normalize(V3{t.x * l.x + b.x * l.y + h.n.x * l.z,
-                       t.y * l.x + b.y * l.y + h.n.y * l.z,
-                       t.z * l.x + b.z * l.y + h.n.z * l.z});
-    tp = {tp.x * kd.x, tp.y * kd.y, tp.z * kd.z};
+    dir = newdir;
+    tp = {tp.x * bsdf_w.x, tp.y * bsdf_w.y, tp.z * bsdf_w.z};
     float rr = rng->draw1();
     float p = luminance(tp);
     if (p > cfg.rr_ceiling) p = cfg.rr_ceiling;

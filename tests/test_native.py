@@ -198,7 +198,7 @@ class TestNativeTriangleRenderer:
     reference's CPU renderer is sphere-only; three independent
     implementations must cover BOTH scene families)."""
 
-    def make(self, aov="pathtracing"):
+    def make(self, aov="pathtracing", **cfg_kw):
         from l2n_tpu.config import RenderConfig
         from l2n_tpu.native import NativeTriangleRenderer
         from l2n_tpu.render.tiles import tile_grid
@@ -207,36 +207,59 @@ class TestNativeTriangleRenderer:
         cfg = RenderConfig(width=128, height=64, tile_width=128,
                            tile_height=32, sphere_count=8, disc_lat=8,
                            disc_long=4, tiles_per_step=1, aov=aov,
-                           scene_kind="triangle").validate()
+                           scene_kind="triangle", **cfg_kw).validate()
         spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
                                   cfg.scene_seed)
         scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
         tiles = tile_grid(cfg)
         return cfg, scene, NativeTriangleRenderer(cfg, scene, tiles)
 
-    def run_native(self, cfg, nr, steps=2):
+    def run_native(self, cfg, nr, steps=2, cam=None):
         from l2n_tpu.camera import Camera
         from l2n_tpu.render.state import init_frame_state
         st = init_frame_state(cfg)
         accum = np.asarray(st.accum).copy()
         output = np.asarray(st.output).copy()
-        cam = Camera.from_config(cfg).packed()
+        if cam is None:
+            cam = Camera.from_config(cfg).packed()
         k = cfg.effective_tiles_per_step
         for i in range(steps):
             nr.render_tiles(accum, output, cam,
                             offset=(i * k) % cfg.tile_count, count=k)
         return accum, output
 
-    def run_oracle(self, cfg, scene, steps=2):
+    def run_oracle(self, cfg, scene, steps=2, cam=None):
         from l2n_tpu.camera import Camera
         from l2n_tpu.render.state import init_frame_state
         from l2n_tpu.render.step import build_render_step
         step = build_render_step(cfg, scene, backend="xla")
         st = init_frame_state(cfg)
-        cam = Camera.from_config(cfg).packed()
+        if cam is None:
+            cam = Camera.from_config(cfg).packed()
         for _ in range(steps):
             st = step(st, cam)
         return np.asarray(st.accum), np.asarray(st.output)
+
+    def test_matches_oracle_microfacet(self):
+        """Native microfacet on the tessellated-mesh family: the same C++
+        BSDF twin shading about the normalized interpolated normal, on a
+        lit aimed frame (the default camera sees ~0.1% geometry here)."""
+        if not native.available():
+            pytest.skip("no C++ toolchain")
+        from tests.test_kernels import TestTriangleKernel
+        cfg, scene, nr = self.make(material_mode="microfacet",
+                                   emissive_every=2)
+        cam = TestTriangleKernel.aimed_camera(cfg).packed()
+        na, no = self.run_native(cfg, nr, cam=cam)
+        ja, jo = self.run_oracle(cfg, scene, cam=cam)
+        assert (ja[:3].max(0) > 0).mean() > 0.3  # real lit coverage
+        np.testing.assert_array_equal(na[3], ja[3])
+        d = np.abs(na - ja)
+        flip = d.max(0) > 1e-3
+        assert flip.mean() < 8e-3
+        body = np.abs(na[:3] / np.maximum(na[3], 1)
+                      - ja[:3] / np.maximum(ja[3], 1))[:, ~flip]
+        assert np.sqrt((body ** 2).mean()) < 1e-3
 
     def test_matches_oracle_threefry(self):
         if not native.available():
