@@ -274,9 +274,32 @@ def run_stage(name: str, timeout_s: float) -> dict | None:
     return None
 
 
+def probe_device(timeout_s: float) -> bool:
+    """One subprocess that initializes the JAX backend. When the axon
+    tunnel is down, EVERY jax init hangs (not errors) — a round-2-style
+    rc=124 would eat the whole record. Probing first lets the parent wait
+    out a transient tunnel flap and still leave budget for measurement."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            stdout=subprocess.PIPE, timeout=timeout_s)
+        return proc.returncode == 0 and b"ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     t0 = time.monotonic()
     remaining = lambda: TOTAL_BUDGET_S - (time.monotonic() - t0)
+
+    # Wait out a down tunnel for up to half the budget (probe ~90s each).
+    while not probe_device(min(90.0, max(10.0, remaining() - 10.0))):
+        log(f"device probe failed ({remaining():.0f}s budget left)")
+        if remaining() < 0.55 * TOTAL_BUDGET_S:
+            log("proceeding anyway; stages will fail fast if it is down")
+            break
+        time.sleep(15.0)
 
     # Headline is required: give it the budget minus a reserve for the
     # final print (secondaries are sacrificed if it runs long).
