@@ -16,20 +16,17 @@ _AOVS = {"pathtracing": 0, "normal": 1, "hit": 2}
 
 
 def _material_mode(cfg, sphere: bool) -> int:
-    """Native material support: procedural Lambert and microfacet
-    (GGX+Lambert, the brdf.py twin) in both renderers. Disney(lite) stays
-    a JAX-side extension (oracle + kernels cross-check it; a third C++
-    implementation of the 5-parameter principled mixture adds no coverage
-    the two-way gate does not already give)."""
+    """Every material mode has a native C++ twin (brdf.py formulas, same
+    draw order), so all three implementations cross-check all materials
+    on both scene families."""
     del sphere
     mode = getattr(cfg, "material_mode", "procedural")
-    if mode == "procedural":
-        return 0
-    if mode == "microfacet":
-        return 1
-    raise NotImplementedError(
-        f"native renderer does not implement material_mode={mode!r} -- "
-        "use the oracle or Pallas kernels")
+    try:
+        return {"procedural": 0, "microfacet": 1, "disney": 2}[mode]
+    except KeyError:
+        raise NotImplementedError(
+            f"native renderer does not implement material_mode={mode!r}"
+        ) from None
 
 
 class _CConfig(ctypes.Structure):

@@ -285,6 +285,117 @@ inline BrdfVal eval_brdf(V3 n, V3 wo, V3 wi, V3 kd, float rough) {
           pdf};
 }
 
+// Disney principled (lite) — the C++ twin of brdf.py's eval_disney /
+// sample_disney / procedural_disney_params: Burley retro-reflective
+// diffuse with the Hanrahan-Krueger subsurface blend, sheen, colored-
+// Fresnel GGX, metallic-weighted cosine/GGX mixture sampling.
+
+struct DisneyParams {
+  float metallic, specular, sheen, subsurface;
+};
+
+inline DisneyParams disney_params_of(int32_t index) {
+  float f = static_cast<float>(index + 1);
+  auto chan = [&](float k) {
+    float v = std::sin(f * k) * 43758.5453f;
+    return v - std::floor(v);
+  };
+  float raw_metal = chan(57.731f);
+  float metallic = 0.0f;
+  if (raw_metal > 0.75f) {
+    metallic = (raw_metal - 0.75f) * 8.0f;
+    if (metallic > 1.0f) metallic = 1.0f;
+  }
+  float raw_ss = chan(31.337f);
+  float subsurface = raw_ss > 0.5f ? (raw_ss - 0.5f) * 2.0f : 0.0f;
+  return {metallic, chan(23.147f), chan(11.519f), subsurface};
+}
+
+inline float schlick5(float x) {
+  float om = std::max(1.0f - x, 0.0f);
+  float m2 = om * om;
+  return m2 * m2 * om;
+}
+
+inline BrdfVal eval_disney(V3 n, V3 wo, V3 wi, V3 base, float rough,
+                           DisneyParams dp) {
+  float alpha = rough * rough;
+  float alpha2 = alpha * alpha;
+  float n_v = std::max(dot(n, wo), 1e-6f);
+  float n_l = std::max(dot(n, wi), 0.0f);
+  V3 h = normalize(wo + wi);
+  float n_h = std::max(dot(n, h), 0.0f);
+  float v_h = std::max(dot(wo, h), 1e-6f);
+
+  float dden = n_h * n_h * (alpha2 - 1.0f) + 1.0f;
+  float d = alpha2 / std::max(kPi * dden * dden, 1e-12f);
+  float gv = n_l * std::sqrt(n_v * n_v * (1.0f - alpha2) + alpha2);
+  float gl = n_v * std::sqrt(n_l * n_l * (1.0f - alpha2) + alpha2);
+  float vis = 0.5f / std::max(gv + gl, 1e-12f);
+  float s5 = schlick5(v_h);
+  float f0_d = 0.08f * dp.specular;
+  V3 f0{f0_d + (base.x - f0_d) * dp.metallic,
+        f0_d + (base.y - f0_d) * dp.metallic,
+        f0_d + (base.z - f0_d) * dp.metallic};
+  float dv = d * vis;
+  V3 spec{dv * (f0.x + (1.0f - f0.x) * s5), dv * (f0.y + (1.0f - f0.y) * s5),
+          dv * (f0.z + (1.0f - f0.z) * s5)};
+
+  float sl = schlick5(n_l);
+  float sv = schlick5(n_v);
+  float fd90 = 0.5f + 2.0f * rough * v_h * v_h;
+  float fd = (1.0f + (fd90 - 1.0f) * sl) * (1.0f + (fd90 - 1.0f) * sv);
+  float fss90 = rough * v_h * v_h;
+  float fss = (1.0f + (fss90 - 1.0f) * sl) * (1.0f + (fss90 - 1.0f) * sv);
+  float ss = 1.25f * (fss * (1.0f / std::max(n_l + n_v, 1e-6f) - 0.5f)
+                      + 0.5f);
+  float kdiff = (1.0f / kPi) * (fd + (ss - fd) * dp.subsurface) *
+                (1.0f - dp.metallic);
+  float fsheen = dp.sheen * s5 * (1.0f - dp.metallic);
+
+  float p_spec = 0.25f + 0.5f * dp.metallic;
+  float pdf_cos = n_l * (1.0f / kPi);
+  float pdf_ggx = d * n_h / std::max(4.0f * v_h, 1e-6f);
+  float pdf = p_spec * pdf_ggx + (1.0f - p_spec) * pdf_cos;
+  if (!(n_l > 0.0f)) return {{0.0f, 0.0f, 0.0f}, 0.0f};
+  return {{base.x * kdiff + fsheen + spec.x,
+           base.y * kdiff + fsheen + spec.y,
+           base.z * kdiff + fsheen + spec.z},
+          pdf};
+}
+
+inline V3 sample_disney(float u_lobe, float u1, float u2, V3 n, V3 t, V3 b,
+                        V3 wo, V3 base, float rough, DisneyParams dp,
+                        V3* w) {
+  float alpha = rough * rough;
+  float alpha2 = alpha * alpha;
+  V3 cl = cosine_hemisphere(u1, u2);
+  V3 a{t.x * cl.x + b.x * cl.y + n.x * cl.z,
+       t.y * cl.x + b.y * cl.y + n.y * cl.z,
+       t.z * cl.x + b.z * cl.y + n.z * cl.z};
+  float cos_h = std::sqrt(std::max(
+      (1.0f - u1) / std::max(1.0f + (alpha2 - 1.0f) * u1, 1e-12f), 0.0f));
+  float sin_h = std::sqrt(std::max(1.0f - cos_h * cos_h, 0.0f));
+  float phi = 2.0f * kPi * u2;
+  float hx = sin_h * std::cos(phi), hy = sin_h * std::sin(phi);
+  V3 hv{t.x * hx + b.x * hy + n.x * cos_h,
+        t.y * hx + b.y * hy + n.y * cos_h,
+        t.z * hx + b.z * hy + n.z * cos_h};
+  float v_h = dot(wo, hv);
+  V3 refl = 2.0f * v_h * hv - wo;
+  float p_spec = 0.25f + 0.5f * dp.metallic;
+  V3 wi = normalize(u_lobe < p_spec ? refl : a);
+  BrdfVal e = eval_disney(n, wo, wi, base, rough, dp);
+  float n_l = std::max(dot(n, wi), 0.0f);
+  float scale = n_l / std::max(e.pdf, 1e-12f);
+  if (e.pdf > 0.0f) {
+    *w = {e.f.x * scale, e.f.y * scale, e.f.z * scale};
+  } else {
+    *w = {0.0f, 0.0f, 0.0f};
+  }
+  return wi;
+}
+
 // Returns the sampled direction; *w is the estimator weight f*cos/pdf.
 inline V3 sample_brdf(float u_lobe, float u1, float u2, V3 n, V3 t, V3 b,
                       V3 wo, V3 kd, float rough, V3* w) {
@@ -451,16 +562,23 @@ V3 trace_path(const Config& cfg, const float* spheres, int n, V3 org, V3 dir,
     float u1, u2;
     rng->draw2(&u1, &u2);
     V3 kd = albedo_of(h.index);
-    const bool mf = cfg.material_mode == 1;
+    const int mat = cfg.material_mode;  // 0 lambert, 1 microfacet, 2 disney
     V3 wo = -1.0f * dir;
     float rough = 0.0f;
+    DisneyParams dp{};
     V3 newdir, bsdf_w;
-    if (mf) {
+    if (mat != 0) {
       // Draw order mirrors the JAX material branch: (u1, u2) then u_lobe.
       float u_lobe = rng->draw1();
       rough = procedural_roughness_of(h.index);
-      newdir = sample_brdf(u_lobe, u1, u2, h.n, t, b, wo, kd, rough,
-                           &bsdf_w);
+      if (mat == 2) {
+        dp = disney_params_of(h.index);
+        newdir = sample_disney(u_lobe, u1, u2, h.n, t, b, wo, kd, rough,
+                               dp, &bsdf_w);
+      } else {
+        newdir = sample_brdf(u_lobe, u1, u2, h.n, t, b, wo, kd, rough,
+                             &bsdf_w);
+      }
     } else {
       V3 l = cosine_hemisphere(u1, u2);
       newdir = normalize(V3{t.x * l.x + b.x * l.y + h.n.x * l.z,
@@ -493,12 +611,13 @@ V3 trace_path(const Config& cfg, const float* spheres, int n, V3 org, V3 dir,
         Hit sh = intersect_scene(spheres, n,
                                  org + cfg.ray_epsilon * ldir, ldir);
         if (sh.index == li) {
-          // f is kd/pi (Lambert) or the full microfacet eval; the common
+          // f is kd/pi (Lambert) or the full material eval; the common
           // factor mirrors nee_contribution (ops/nee.py).
           float base = cfg.emission_scale * n_lights * cos_s * cos_l /
                        (d2 > 1e-20f ? d2 : 1e-20f);
-          V3 f = mf ? eval_brdf(h.n, wo, ldir, kd, rough).f
-                    : (1.0f / kPi) * kd;
+          V3 f = mat == 2 ? eval_disney(h.n, wo, ldir, kd, rough, dp).f
+                 : mat == 1 ? eval_brdf(h.n, wo, ldir, kd, rough).f
+                            : (1.0f / kPi) * kd;
           col = col + V3{tp.x * f.x * base, tp.y * f.y * base,
                          tp.z * f.z * base};
         }
@@ -624,20 +743,27 @@ V3 trace_path_generic(const Config& cfg, const SceneT& scene, V3 org, V3 dir,
     org = org + h.t * dir;
     if (cfg.normal_map > 0.0f) h.n = bump_normal(cfg, h.index, org, h.n);
     V3 kd = albedo_of(h.index);
-    const bool mf = cfg.material_mode == 1;
+    const int mat = cfg.material_mode;  // 0 lambert, 1 microfacet, 2 disney
     V3 wo = -1.0f * dir;
     V3 nn = normalize(h.n);  // material mode shades about the unit normal
     float rough = 0.0f;
+    DisneyParams dp{};
     float u1, u2;
     rng->draw2(&u1, &u2);
     V3 newdir, bsdf_w;
-    if (mf) {
+    if (mat != 0) {
       float u_lobe = rng->draw1();
       rough = procedural_roughness_of(h.index);
       V3 t, b;
       frame_z(nn, &t, &b);
-      newdir = sample_brdf(u_lobe, u1, u2, nn, t, b, wo, kd, rough,
-                           &bsdf_w);
+      if (mat == 2) {
+        dp = disney_params_of(h.index);
+        newdir = sample_disney(u_lobe, u1, u2, nn, t, b, wo, kd, rough,
+                               dp, &bsdf_w);
+      } else {
+        newdir = sample_brdf(u_lobe, u1, u2, nn, t, b, wo, kd, rough,
+                             &bsdf_w);
+      }
     } else {
       V3 t, b;
       frame_z(h.n, &t, &b);  // reference keeps the unnormalized frame
@@ -686,11 +812,12 @@ V3 trace_path_generic(const Config& cfg, const SceneT& scene, V3 org, V3 dir,
         if (cos_s < 0.0f) cos_s = 0.0f;
         // Le = scale/(4 pi * 1): meshes emit with sqrRadius = 1
         // (triangle_pathtracing.cs.glsl:268); f = kd/pi or the full
-        // microfacet eval (nee_cone_contribution's brdf_eval path).
+        // material eval (nee_cone_contribution's brdf_eval path).
         float wgt = cos_s * (cfg.emission_scale / (4.0f * kPi)) *
                     static_cast<float>(n_lights) * omega;
-        V3 f = mf ? eval_brdf(nn, wo, ldir, kd, rough).f
-                  : (1.0f / kPi) * kd;
+        V3 f = mat == 2 ? eval_disney(nn, wo, ldir, kd, rough, dp).f
+               : mat == 1 ? eval_brdf(nn, wo, ldir, kd, rough).f
+                          : (1.0f / kPi) * kd;
         col = col + V3{tp.x * f.x * wgt, tp.y * f.y * wgt,
                        tp.z * f.z * wgt};
       }

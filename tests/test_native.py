@@ -106,10 +106,24 @@ class TestNativeRenderer:
                       - ja[:3] / np.maximum(ja[3], 1))[:, ~flip]
         assert np.sqrt((body ** 2).mean()) < 1e-3
 
-    def test_unsupported_material_raises(self):
-        import pytest
-        with pytest.raises(NotImplementedError):
-            self.make(material_mode="disney")
+    def test_matches_oracle_disney(self):
+        """Native Disney(lite) twin — Burley + subsurface blend + sheen +
+        colored-Fresnel GGX with metallic-weighted mixture sampling — on
+        the lit aimed frame."""
+        from tests.test_brdf import TestRenderIntegration
+        cfg, scene, nr = self.make(material_mode="disney",
+                                   emissive_every=2)
+        cam = TestRenderIntegration._aimed_camera(cfg).packed()
+        na, no = self.run_native(cfg, nr, cam=cam)
+        ja, jo = self.run_oracle(cfg, scene, cam=cam)
+        assert (ja[:3].max(0) > 0).mean() > 0.3
+        np.testing.assert_array_equal(na[3], ja[3])
+        d = np.abs(na - ja)
+        flip = d.max(0) > 1e-3
+        assert flip.mean() < 8e-3
+        body = np.abs(na[:3] / np.maximum(na[3], 1)
+                      - ja[:3] / np.maximum(ja[3], 1))[:, ~flip]
+        assert np.sqrt((body ** 2).mean()) < 1e-3
 
     def test_matches_oracle_threefry(self):
         """Same threefry draw addressing + same math => near-identical
