@@ -193,7 +193,14 @@ def _interior_balls(v1, v2, v3, sub_centers, sub_radii) -> np.ndarray:
     cents = (v1 + v2 + v3) / 3.0
     normals = sign * n_geo / np.maximum(ln, 1e-30)
 
-    # Mean inward normal per sub-cluster candidate seed.
+    # Mean inward normal per sub-cluster candidate seed. Cap the seed count
+    # so the (candidates x triangles) inside/distance batches stay small on
+    # huge meshes (a 1M-triangle mesh has ~8k subs; 64 spread seeds x 3
+    # depths bound the host memory at ~200 x n floats).
+    if len(sub_centers) > 64:
+        stride = -(-len(sub_centers) // 64)
+        sub_centers = sub_centers[::stride]
+        sub_radii = sub_radii[::stride]
     cand = []
     for sc, sr in zip(sub_centers, sub_radii):
         d2 = ((cents - sc) ** 2).sum(1)
