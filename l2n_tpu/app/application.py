@@ -129,11 +129,11 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover
     renderer = args.renderer
     renderer_names = ("spherePT", "trianglePT")
     if args.obj is not None:
-        from l2n_tpu.scene.obj import load_obj
-        triangle_scene = load_obj(args.obj)
         renderer = "trianglePT"
         renderer_names = ("trianglePT",)
-        cfg = cfg.replace(scene_kind="triangle")
+        # obj_path rides in the config (TriangleProgram loads it) so
+        # session checkpoints record the scene source.
+        cfg = cfg.replace(scene_kind="triangle", obj_path=str(args.obj))
     app = Application(cfg, backend=args.backend,
                       renderer_names=renderer_names,
                       initial_renderer=renderer,

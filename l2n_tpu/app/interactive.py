@@ -285,6 +285,8 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover
     if args.obj is not None:
         from l2n_tpu.scene.obj import load_obj
         triangle_scene = load_obj(args.obj)
+        # Recorded in the config so session saves know the scene source.
+        cfg = cfg.replace(scene_kind="triangle", obj_path=str(args.obj))
     app = InteractiveApp(cfg, backend=args.backend,
                          triangle_scene=triangle_scene)
     display = AnsiDisplay()

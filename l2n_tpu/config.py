@@ -88,6 +88,13 @@ class RenderConfig:
     scene_seed: int = 0
     disc_lat: int = 16            # tessellation, src/main.cpp:733
     disc_long: int = 8            # src/main.cpp:734
+    # OBJ scene source for the triangle renderer ("" = the procedural
+    # tessellation above). Carried in the config so session checkpoints
+    # (utils/checkpoint.py) record WHICH scene the accumulation belongs
+    # to — a resumed OBJ render rebuilds the same geometry, and resuming
+    # into a different scene fails the config-match check instead of
+    # silently accumulating mismatched radiance.
+    obj_path: str = ""
 
     # Shading model. "procedural" = the reference's hashed-albedo Lambert
     # (glsl:215-222,292-300); "microfacet" = GGX/Smith specular over a
@@ -233,6 +240,8 @@ class RenderConfig:
             raise ValueError("max_bounces must be >= 1")
         if self.scene_kind not in ("sphere", "triangle"):
             raise ValueError(f"unknown scene_kind {self.scene_kind!r}")
+        if self.obj_path and self.scene_kind != "triangle":
+            raise ValueError("obj_path requires scene_kind='triangle'")
         if self.rng not in ("threefry", "tinymt", "tauslcg", "tpu_hw"):
             raise ValueError(f"unknown rng {self.rng!r}")
         if self.env_mode not in ("mandelbrot", "sun", "none"):

@@ -80,7 +80,12 @@ class TriangleProgram(PathtracingProgram):
                  backend: str = "auto", **kw):
         cfg = cfg.replace(scene_kind="triangle")
         if scene is None:
-            spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
-                                      cfg.scene_seed)
-            scene = build_triangle_scene(spheres, cfg.disc_lat, cfg.disc_long)
+            if cfg.obj_path:
+                from l2n_tpu.scene.obj import load_obj
+                scene = load_obj(cfg.obj_path)
+            else:
+                spheres = compute_spheres(cfg.sphere_count, cfg.world_size,
+                                          cfg.scene_seed)
+                scene = build_triangle_scene(spheres, cfg.disc_lat,
+                                             cfg.disc_long)
         super().__init__(cfg, scene, backend, **kw)

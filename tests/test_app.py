@@ -78,6 +78,42 @@ class TestSessionCheckpoint:
         with pytest.raises(ValueError):
             other.load_session(path)
 
+    def test_obj_scene_roundtrip(self, tmp_path):
+        """Session checkpoints of OBJ renders record the scene source in
+        the config (cfg.obj_path), so a resume rebuilds the SAME imported
+        geometry — and resuming into a procedural-scene config is rejected
+        instead of silently accumulating mismatched radiance."""
+        from l2n_tpu.scene.procgen import torus_field_obj
+        obj = tmp_path / "tori.obj"
+        obj.write_text(torus_field_obj(n_tori=2, seg_u=8, seg_v=6,
+                                       world_size=256.0))
+        cfg = CFG.replace(scene_kind="triangle", obj_path=str(obj))
+        app = Application(cfg, workdir=tmp_path, backend="xla",
+                          renderer_names=("trianglePT",),
+                          initial_renderer="trianglePT")
+        app.run(2, save_camera=False)
+        path = app.save_session(tmp_path / "obj_session.npz")
+
+        resumed = Application(cfg, workdir=tmp_path, backend="xla",
+                              renderer_names=("trianglePT",),
+                              initial_renderer="trianglePT")
+        # The resumed program rebuilt the imported scene from obj_path.
+        np.testing.assert_array_equal(
+            np.asarray(resumed.renderer.program.scene.vertices),
+            np.asarray(app.renderer.program.scene.vertices))
+        resumed.load_session(path)
+        np.testing.assert_array_equal(
+            np.asarray(resumed.renderer.state.accum),
+            np.asarray(app.renderer.state.accum))
+
+        plain = Application(CFG.replace(scene_kind="triangle", disc_lat=8,
+                                        disc_long=4),
+                            workdir=tmp_path, backend="xla",
+                            renderer_names=("trianglePT",),
+                            initial_renderer="trianglePT")
+        with pytest.raises(ValueError):
+            plain.load_session(path)
+
     def test_tinymt_state_checkpointed(self, tmp_path):
         cfg = CFG.replace(rng="tinymt")
         app = make_app(tmp_path, cfg)
