@@ -128,8 +128,14 @@ class RenderConfig:
     # be unreachable. 0 density = off, bit-identical to no-fog tracing
     # (the fog draws are gated at trace time). Requires a stateless
     # sampler. Composes with NEE (analytic exp(-sigma*d) shadow
-    # transmittance, ops/nee.py); fog+NEE+MIS and fog+wavefront remain
-    # gated (validate() explains each).
+    # transmittance, ops/nee.py) and with NEE+MIS: the balance weights
+    # stay the angular pdfs (transmittance is a deterministic factor on
+    # each strategy's contribution, not a pdf — NEE folds exp(-sigma*d)
+    # analytically, the BSDF side carries it implicitly as collision-
+    # sampling survival), except that rays scattered at a fog vertex keep
+    # FULL emission weight because fog vertices take no NEE
+    # (ops/pathtrace.py::_resolve_vertex). fog+wavefront remains gated
+    # (validate() explains).
     fog_density: float = 0.0      # sigma_t per world unit
     fog_albedo: float = 0.9       # sigma_s / sigma_t (scatter fraction)
     fog_sky_distance: float = 0.0  # 0 = auto (4 * world_size)
@@ -275,12 +281,6 @@ class RenderConfig:
             if self.rng not in ("threefry", "tpu_hw"):
                 raise ValueError("fog requires a stateless sampler "
                                  "(threefry or tpu_hw)")
-            if self.nee and self.mis:
-                raise ValueError(
-                    "fog + nee + mis is unsupported: the balance-heuristic "
-                    "weights would need transmittance folded into both "
-                    "strategies' pdfs; fog + nee (without mis) applies the "
-                    "analytic shadow-ray transmittance exp(-sigma*d)")
             if self.emissive_every <= 1:
                 raise ValueError(
                     "fog requires emissive_every > 1: fog collisions mark "

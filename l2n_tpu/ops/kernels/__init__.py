@@ -34,15 +34,19 @@ from l2n_tpu.ops.kernels.uv_demo import uv_demo  # noqa: E402,F401
 
 
 def build_pallas_step(cfg, scene, tile_array, donate: bool = True,
-                      steps_per_call: int = 1):
+                      steps_per_call: int = 1, lights=None):
     """Compile-time dispatch on cfg.scene_kind (the renderer combo,
     src/main.cpp:976-980). Returns an ALREADY-jitted step — builders manage
     their own jit boundary so per-camera precomputations (visibility tables,
-    mesh orders) can be cached host-side instead of recomputed per step."""
+    mesh orders) can be cached host-side instead of recomputed per step.
+    `lights` (ops.lights.ExplicitLights or None): trace-time constants for
+    the explicit light/material term."""
     if (cfg.wavefront and cfg.scene_kind == "sphere"
             and cfg.aov == "pathtracing"):
         # Compacted-bounce wavefront variant (non-pathtracing AOVs have no
         # bounce machinery to compact; triangle pass A lands separately).
+        if lights is not None:
+            raise ValueError("explicit lights + wavefront is unsupported")
         from l2n_tpu.ops.kernels.wavefront import build_sphere_wavefront_step
         return build_sphere_wavefront_step(cfg, scene, tile_array,
                                            donate=donate,
@@ -54,4 +58,4 @@ def build_pallas_step(cfg, scene, tile_array, donate: bool = True,
             f"no pallas kernel registered for scene {cfg.scene_kind!r}"
         ) from None
     return builder(cfg, scene, tile_array, donate=donate,
-                   steps_per_call=steps_per_call)
+                   steps_per_call=steps_per_call, lights=lights)

@@ -202,7 +202,8 @@ def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz):
                nz=nz * rcp, index=best_i, emis_r2=br2)
 
 
-def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, *refs):
+def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, lights,
+            *refs):
     if not cfg.rng_stateful:
         (sched_ref, vis_ref, cam_ref, cx_ref, cy_ref, cz_ref, r2_ref,
          accum_in, _out_in, accum_out, out_out) = refs
@@ -341,7 +342,7 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, *refs):
                             intersect_primary=intersect_primary,
                             intersect_anyhit=intersect_anyhit,
                             intersect_anyhit_env=intersect_anyhit_env,
-                            light_sampler=light_sampler)
+                            light_sampler=light_sampler, lights=lights)
             for s in range(group):  # same left-fold order as the loop
                 sl = slice(s * th, (s + 1) * th)
                 sum_r, sum_g, sum_b = (sum_r + r[sl], sum_g + g[sl],
@@ -361,7 +362,7 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, *refs):
                             intersect_primary=intersect_primary,
                             intersect_anyhit=intersect_anyhit,
                             intersect_anyhit_env=intersect_anyhit_env,
-                            light_sampler=light_sampler)
+                            light_sampler=light_sampler, lights=lights)
             sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
             if cfg.rng_stateful and s + 1 < spp:
                 # Stateful modes must chain states across sub-samples.
@@ -373,7 +374,7 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, *refs):
 
 
 def build_sphere_call(cfg, scene, sphere_unroll: int | None = None,
-                      cone_cull: bool = True):
+                      cone_cull: bool = True, lights=None):
     """The raw pallas_call over one framebuffer (or one shard's slab).
 
     Signature of the returned callable:
@@ -431,7 +432,8 @@ def build_sphere_call(cfg, scene, sphere_unroll: int | None = None,
     outside_ok = spheres_disjoint(scene, margin=2.0 * cfg.ray_epsilon)
 
     return pl.pallas_call(
-        partial(_kernel, cfg, n, sphere_unroll, cone_cull, outside_ok),
+        partial(_kernel, cfg, n, sphere_unroll, cone_cull, outside_ok,
+                lights),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
@@ -446,7 +448,7 @@ def build_sphere_call(cfg, scene, sphere_unroll: int | None = None,
 @register_kernel("sphere")
 def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
                       cone_cull: bool = True, donate: bool = True,
-                      steps_per_call: int = 1):
+                      steps_per_call: int = 1, lights=None):
     """Returns step(FrameState, packed_camera) -> FrameState, ALREADY jitted.
 
     The step is split across the jit boundary so the cone-cull visibility
@@ -454,7 +456,8 @@ def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
     per camera by a Python-side cache instead of per step (the camera is
     static across a progressive refinement run, src/main.cpp:997-1001 only
     clears on move)."""
-    call = build_sphere_call(cfg, scene, sphere_unroll, cone_cull)
+    call = build_sphere_call(cfg, scene, sphere_unroll, cone_cull,
+                             lights=lights)
     tile_array = jnp.asarray(tile_array)
     k = cfg.effective_tiles_per_step
     n = scene.count

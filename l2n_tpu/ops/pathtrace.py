@@ -185,9 +185,16 @@ def _resolve_vertex(cfg, light_sampler, use_nee, use_mis, dist,
         # direction (every lane here arrived via a BSDF-sampled bounce,
         # so prev_pdf is its pdf).
         from l2n_tpu.ops.nee import mis_emission_weight
-        emit = emit * mis_emission_weight(
+        w = mis_emission_weight(
             cfg, light_sampler.kind, light_sampler.n_lights,
             prev_pdf, bdx, bdy, bdz, cur_t, nx, ny, nz, emis_r2, bound_r2)
+        if cfg.fog_density > 0.0:
+            # Rays scattered at a FOG-COLLISION vertex had no NEE
+            # competitor (fog vertices take no NEE, _scatter_and_roulette):
+            # the NEE strategy's pdf is zero there and their emission
+            # keeps FULL weight. emission_ok == 2 marks those lanes.
+            w = jnp.where(emission_ok == 2, f32(1.0), w)
+        emit = emit * w
         add_em = emissive
     elif use_nee:
         add_em = emissive & (emission_ok == 1)
@@ -204,7 +211,7 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
                           use_mis, b, box, boy, boz, bdx, bdy, bdz, cur_t,
                           nx, ny, nz, index, diffuse, tp_r, tp_g, tp_b,
                           col_r, col_g, col_b, prev_pdf, emission_ok,
-                          stats=None, medium=None):
+                          stats=None, medium=None, lights=None):
     """The per-vertex block shared by the single-pass tracer and the
     wavefront split: BSDF sample (procedural Lambert, glsl:292-300, or the
     microfacet wishlist lobe), optional NEE, throughput update, Russian
@@ -224,6 +231,11 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
     hy = boy + cur_t * bdy
     hz = boz + cur_t * bdz
     kd_r, kd_g, kd_b = procedural_color(index)
+    if lights is not None and lights.albedo.shape[0]:
+        # Live PhongMaterials (ops/lights.py): per-object diffuse override
+        # of the procedural hash, one site covering oracle + kernels.
+        kd_r, kd_g, kd_b = lights.override_albedo(index, kd_r, kd_g, kd_b)
+    want_eval = use_nee or (lights is not None and lights.has_lights)
     if cfg.normal_map > 0.0:
         # Normal mapping (wishlist TODO.md:5): perturb the SHADING normal
         # before any BSDF frame / NEE cosine sees it. One insertion point
@@ -254,7 +266,7 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
                 u_lobe, u1, u2, nhx, nhy, nhz, tangent, bitangent,
                 wox, woy, woz, kd_r, kd_g, kd_b, rough, metal, spec, sheen,
                 subsurf)
-            if use_nee:
+            if want_eval:
                 def brdf_eval(lx, ly, lz, _n=(nhx, nhy, nhz),
                               _wo=(wox, woy, woz),
                               _kd=(kd_r, kd_g, kd_b), _ro=rough,
@@ -268,7 +280,7 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
             (wdx, wdy, wdz, w_r, w_g, w_b, pdf_b) = sample_brdf(
                 u_lobe, u1, u2, nhx, nhy, nhz, tangent, bitangent,
                 wox, woy, woz, kd_r, kd_g, kd_b, rough)
-            if use_nee:
+            if want_eval:
                 def brdf_eval(lx, ly, lz, _n=(nhx, nhy, nhz),
                               _wo=(wox, woy, woz),
                               _kd=(kd_r, kd_g, kd_b), _ro=rough):
@@ -351,6 +363,29 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
                 # vertex had closed it — otherwise surface->fog->light
                 # paths would be counted by neither strategy.
                 emission_ok = jnp.where(diffuse & medium, 1, emission_ok)
+        elif medium is not None:
+            # MIS under fog: the plane becomes a per-lane weight selector
+            # for the next emission resolve (1 = balance weight, 2 = full
+            # weight). Fog vertices take no NEE, so the NEE strategy has
+            # pdf ZERO for their scattered rays — the balance weight must
+            # not divide their emission against a competitor that never
+            # existed (_resolve_vertex forces weight 1 where == 2).
+            emission_ok = jnp.where(
+                diffuse, jnp.where(medium, 2, 1), emission_ok)
+
+    if lights is not None and lights.has_lights:
+        # Explicit (Dirac) point/directional lights — the reference's
+        # declared-but-dead light buffers made live (ops/lights.py). No
+        # sampler draws, no MIS interaction; surface vertices only (the
+        # isotropic phase estimator is not the f the term evaluates).
+        from l2n_tpu.ops.lights import explicit_light_contribution
+        surface = diffuse if medium is None else (diffuse & ~medium)
+        er, eg, eb = explicit_light_contribution(
+            cfg, lights, intersect, hx, hy, hz, nx, ny, nz,
+            kd_r, kd_g, kd_b, tp_r, tp_g, tp_b, brdf_eval=brdf_eval)
+        col_r = jnp.where(surface, col_r + er, col_r)
+        col_g = jnp.where(surface, col_g + eg, col_g)
+        col_b = jnp.where(surface, col_b + eb, col_b)
 
     box = jnp.where(diffuse, hx, box)
     boy = jnp.where(diffuse, hy, boy)
@@ -402,7 +437,7 @@ def _finish_path(cfg, intersect, sampler, start_b, entered, pending, dist,
                  prev_pdf, emission_ok,
                  intersect_anyhit=None, intersect_anyhit_env=None,
                  light_sampler=None, use_nee=False, use_mis=False,
-                 stats=None):
+                 stats=None, lights=None):
     """Finish a path from a PENDING cast ray issued at iteration start_b - 1:
     intersect it, then run iterations start_b .. max_bounces-1 and the final
     environment resolve (glsl:312-314).
@@ -493,7 +528,7 @@ def _finish_path(cfg, intersect, sampler, start_b, entered, pending, dist,
             cfg, intersect, sampler, light_sampler, use_nee, use_mis,
             b, box, boy, boz, bdx, bdy, bdz, cur_t, nx, ny, nz, index,
             diffuse, tp_r, tp_g, tp_b, col_r, col_g, col_b, prev_pdf,
-            emission_ok, stats=stats, medium=medium)
+            emission_ok, stats=stats, medium=medium, lights=lights)
         dist = jnp.where(diffuse & ~survive, f32(-2.0), dist)
         has_anyhit = intersect_anyhit is not None or (
             intersect_anyhit_env is not None and cfg.env_mode != "none")
@@ -532,7 +567,7 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
                skip_empty: bool = False, stats: dict | None = None,
                intersect_primary: IntersectFn | None = None,
                intersect_anyhit=None, intersect_anyhit_env=None,
-               light_sampler=None):
+               light_sampler=None, lights=None):
     """Trace one sample per lane; returns (r, g, b).
 
     Exact mask translation of sphere_pathtracing.cs.glsl:272-317 — see the
@@ -621,7 +656,7 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
             0, ox, oy, oz, dx, dy, dz, p_cur_t, hit.nx, hit.ny, hit.nz,
             p_index, p_diffuse, ones, ones, ones, col_r, col_g, col_b,
             ones, jnp.ones(shape, jnp.int32), stats=stats,
-            medium=p_medium)
+            medium=p_medium, lights=lights)
         dist = jnp.where(p_diffuse & ~survive, f32(-2.0), dist)
         # entered = p_diffuse | p_miss: the env site inside _finish_path
         # covers primary misses too (their dist stays -1, throughput 1,
@@ -633,7 +668,7 @@ def trace_path(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
             intersect_anyhit=intersect_anyhit,
             intersect_anyhit_env=intersect_anyhit_env,
             light_sampler=light_sampler,
-            use_nee=use_nee, use_mis=use_mis, stats=stats)
+            use_nee=use_nee, use_mis=use_mis, stats=stats, lights=lights)
 
     # Exactly ONE branch per sample, and only the three color sums cross
     # it; everything else the bounce loop touches stays local to the
@@ -843,7 +878,7 @@ def shade(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
           miss_color=(0.0, 0.0, 0.0), skip_empty: bool = False,
           intersect_primary: IntersectFn | None = None,
           intersect_anyhit=None, intersect_anyhit_env=None,
-          light_sampler=None):
+          light_sampler=None, lights=None):
     """Dispatch on cfg.aov (static). `intersect_primary` (optional) is a
     sweep specialized for the camera cast; `intersect_anyhit` (optional) a
     boolean sweep for the last segment; AOVs are all primary-only except
@@ -855,7 +890,7 @@ def shade(cfg, intersect: IntersectFn, sampler, ox, oy, oz, dx, dy, dz,
                           intersect_primary=intersect_primary,
                           intersect_anyhit=intersect_anyhit,
                           intersect_anyhit_env=intersect_anyhit_env,
-                          light_sampler=light_sampler)
+                          light_sampler=light_sampler, lights=lights)
     if cfg.aov == "normal":
         return aov_normal(primary, ox, oy, oz, dx, dy, dz, miss_color,
                           cfg=cfg)

@@ -19,8 +19,12 @@ from l2n_tpu.scene.tessellate import TriangleScene, build_triangle_scene
 
 class PathtracingProgram:
     """Base: owns the config, the scene, the compiled step and the
-    material/light buffers (declared-but-unused in the reference's shading,
-    bound by its base program at src/main.cpp:675-693 — mirrored here)."""
+    material/light buffers. The reference DECLARES and binds these buffers
+    (src/main.cpp:675-693) but never reads them; here they are LIVE
+    (ops/lights.py): point/directional lights add deterministic direct
+    lighting at diffuse vertices and PhongMaterials.diffuse overrides the
+    procedural per-object albedo. Empty buffers (the default — the
+    reference's own state) compile the identical program."""
 
     name = "basePT"
 
@@ -49,8 +53,12 @@ class PathtracingProgram:
         # ms/step through a tunnel-attached chip, measured via jax.profiler
         # — is paid once per call. Throughput mode for headless rendering.
         self.steps_per_call = steps_per_call
-        self.step = build_render_step(cfg, scene, backend=backend,
-                                      steps_per_call=steps_per_call)
+        from l2n_tpu.ops.lights import ExplicitLights
+        lights = ExplicitLights(self.materials, self.point_lights,
+                                self.directional_lights)
+        self.step = build_render_step(
+            cfg, scene, backend=backend, steps_per_call=steps_per_call,
+            lights=lights if lights.enabled else None)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<{type(self).__name__} backend={self.backend} cfg={self.cfg}>"

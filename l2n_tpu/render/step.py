@@ -83,7 +83,7 @@ def merge_rng_state(cfg: RenderConfig, state: FrameState, sampler,
 def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
               state: FrameState, camera: jnp.ndarray,
               row_offset=0, stream=0, light_sampler=None,
-              intersect_anyhit=None) -> FrameState:
+              intersect_anyhit=None, lights=None) -> FrameState:
     """One full-frame oracle step. `row_offset`/`stream` support multi-chip
     slab sharding: the state covers rows [row_offset, row_offset + h) of the
     global framebuffer and `stream` keys this device's sample-axis replica."""
@@ -111,7 +111,7 @@ def _xla_step(cfg: RenderConfig, intersect, miss_color, tile_array,
                              py.astype(jnp.float32), u1, u2)
         r, g, b = shade(cfg, intersect, sampler, *rays, miss_color=miss_color,
                         intersect_anyhit=intersect_anyhit,
-                        light_sampler=light_sampler)
+                        light_sampler=light_sampler, lights=lights)
         sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
         work = dataclasses.replace(
             work, rng_state=merge_rng_state(cfg, work, sampler, mask))
@@ -177,21 +177,32 @@ def make_intersector(cfg: RenderConfig, scene):
 
 
 def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
-                      donate: bool = True, steps_per_call: int = 1):
+                      donate: bool = True, steps_per_call: int = 1,
+                      lights=None):
     """Compile a render step for (config, scene).
 
     scene: SphereScene or TriangleScene per cfg.scene_kind.
     Returns step(state, packed_camera) -> state (jitted; state donated so
     accumulation never leaves HBM). `steps_per_call` fuses N scheduler steps
     into each call via lax.fori_loop — identical results, one dispatch.
+    `lights` (ops.lights.ExplicitLights, optional): live material/light
+    buffers; None or all-empty compiles the identical program.
     """
     cfg.validate()
+    if lights is not None and not lights.enabled:
+        lights = None
+    if lights is not None and cfg.wavefront:
+        raise ValueError(
+            "explicit lights + wavefront is unsupported (the wavefront "
+            "split is a documented negative result; its pass split does "
+            "not thread the light term) — use the single-pass kernels")
     tile_array = jnp.asarray(tile_grid(cfg))
     intersect, miss_color, light_sampler, anyhit = make_intersector(cfg, scene)
 
     if backend == "xla":
         fn = partial(_xla_step, cfg, intersect, miss_color, tile_array,
-                     light_sampler=light_sampler, intersect_anyhit=anyhit)
+                     light_sampler=light_sampler, intersect_anyhit=anyhit,
+                     lights=lights)
         if steps_per_call > 1:
             inner = fn
             fn = lambda state, camera: jax.lax.fori_loop(
@@ -202,5 +213,6 @@ def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
         # precomputations outside the jit and cache them host-side).
         from l2n_tpu.ops.kernels import build_pallas_step
         return build_pallas_step(cfg, scene, tile_array, donate=donate,
-                                 steps_per_call=steps_per_call)
+                                 steps_per_call=steps_per_call,
+                                 lights=lights)
     raise ValueError(f"unknown backend {backend!r}")

@@ -1,23 +1,24 @@
-"""Materials and explicit lights.
+"""Materials and explicit lights (SoA containers).
 
 The reference declares Phong materials, point lights and directional lights
 and binds std430 buffers for them (`PhongMaterial`/`PointLight`/
 `DirectionalLight`, /root/reference/src/shaders/sphere_pathtracing.cs.glsl:
 9-38, buffers :52-69, counts :50-65) — but its shading never reads them:
 albedo is the procedural hash (glsl:282) and emission the every-16th-sphere
-rule (glsl:285-290). These SoA containers mirror that declared surface so a
-scene can carry the same data; they are plumbed through the programs,
-exactly as "available but unused" as in the reference.
+rule (glsl:285-290), and its counts stay zero (main.cpp:675-693).
 
-The LIVE material system is `RenderConfig.material_mode`: "procedural"
-keeps reference parity, "microfacet" enables the GGX+Lambert BSDF
-(l2n_tpu.maths.brdf — the reference's own TODO.md:5 wishlist item) with
-per-object procedural roughness, which runs gather-free in both the oracle
-and the Pallas kernels. The Phong buffers here stay a parity mirror of the
-reference's dead declarations rather than feeding that path: per-lane
-material-buffer lookups would need a select-sweep per shading point, and
-the reference defines no semantics to validate against (its counts are
-always zero, main.cpp:675-693).
+These SoA containers carry that declared surface — and since round 4 they
+are LIVE (ops/lights.py): pass them to a program and point/directional
+lights contribute deterministic direct lighting at every diffuse vertex
+while `PhongMaterials.diffuse.rgb` overrides the per-object procedural
+albedo (index-keyed; the remaining Phong channels are carried-but-unread,
+exactly as declared). Empty buffers — the reference's own state — remain
+the default and compile the identical program.
+
+The procedural material system is `RenderConfig.material_mode`:
+"procedural" keeps reference parity, "microfacet"/"disney" enable the
+wishlist BSDFs (l2n_tpu.maths.brdf) with per-object procedural parameters;
+explicit lights evaluate whichever BSDF is active.
 """
 
 from __future__ import annotations

@@ -177,6 +177,87 @@ class TestFogNee:
         assert (diff > 1e-3).mean() < 1e-3
 
 
+class TestFogNeeMis:
+    """fog + nee + mis (the round-3 verdict's last composition cell).
+
+    Homogeneous transmittance is a deterministic FACTOR on each strategy's
+    contribution, not a pdf: NEE folds exp(-sigma*d) analytically
+    (nee.py), the BSDF strategy carries it implicitly as collision-
+    sampling survival, and the balance weights stay the angular pdfs —
+    still summing to one, so the combination stays unbiased. The one
+    asymmetry: rays scattered at a FOG vertex keep full emission weight
+    (fog vertices take no NEE, so that strategy's pdf is zero there)."""
+
+    def scene_and_cfg(self):
+        light_r, floor_dist = 120.0, 300.0
+        scene = SphereSceneFromArrays(
+            [[0.0, 500.0, -floor_dist], [0.0, 0.0, -floor_dist - 1e4]],
+            [light_r, 1e4 - 100.0])  # index 0 emissive, 1 = giant floor
+        cfg = RenderConfig(width=8, height=8, env_mode="none",
+                           max_bounces=3, fog_density=0.0008,
+                           fog_albedo=0.7, world_size=1024.0)
+        return scene, cfg
+
+    def test_mis_agrees_with_bsdf_only_under_fog(self):
+        """fog+nee+mis estimates the same transport as plain fog tracing:
+        the means must agree on the diffuse-floor + big-light scene."""
+        scene, base = self.scene_and_cfg()
+        n = 400_000
+        plain = trace_rays(base.validate(), scene, n).mean()
+        withmis = trace_rays(base.replace(nee=True, mis=True).validate(),
+                             scene, n).mean()
+        assert withmis == pytest.approx(plain, rel=0.05), (withmis, plain)
+
+    def test_mis_agrees_with_nee_under_fog(self):
+        """...and as fog+nee-without-mis (three estimators, one answer)."""
+        scene, base = self.scene_and_cfg()
+        n = 400_000
+        withnee = trace_rays(base.replace(nee=True).validate(),
+                             scene, n).mean()
+        withmis = trace_rays(base.replace(nee=True, mis=True).validate(),
+                             scene, n).mean()
+        assert withmis == pytest.approx(withnee, rel=0.05), (withmis, withnee)
+
+    def test_full_weight_after_fog_vertex(self):
+        """The fog-vertex full-weight rule carries real energy: zeroing
+        it (simulated by comparing against a tracer where the light can
+        ONLY be reached through fog scattering) must show the MIS
+        estimator still finds fog->light paths. Construction: no floor,
+        camera ray pointed AWAY from the light, scattering fog — every
+        photon that arrives was scattered at a fog vertex first."""
+        light_r = 150.0
+        scene = SphereSceneFromArrays([[0.0, 0.0, 400.0]], [light_r])
+        base = RenderConfig(width=8, height=8, env_mode="none",
+                            max_bounces=3, fog_density=0.002,
+                            fog_albedo=1.0, world_size=1024.0)
+        n = 600_000
+        # Rays go -z (trace_rays default); the light sits at +z.
+        plain = trace_rays(base.validate(), scene, n).mean()
+        withmis = trace_rays(base.replace(nee=True, mis=True).validate(),
+                             scene, n).mean()
+        assert plain > 0.0  # fog scattering does reach the light
+        assert withmis == pytest.approx(plain, rel=0.08), (withmis, plain)
+
+    def test_kernel_matches_oracle_with_fog_nee_mis(self):
+        cfg = RenderConfig(width=128, height=64, tile_width=128,
+                           tile_height=32, sphere_count=16, tiles_per_step=2,
+                           max_bounces=2, fog_density=0.002, fog_albedo=0.8,
+                           nee=True, mis=True).validate()
+        states = []
+        for backend in ("xla", "pallas"):
+            prog = SphereProgram(cfg, backend=backend)
+            st = init_frame_state(cfg)
+            cam = Camera.from_config(cfg).packed()
+            for _ in range(2):
+                st = prog.step(st, cam)
+            states.append(st)
+        so, sp = states
+        a, b = np.asarray(so.accum), np.asarray(sp.accum)
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-3
+        diff = np.abs(np.asarray(so.output) - np.asarray(sp.output))
+        assert (diff > 1e-3).mean() < 1e-3
+
+
 def SphereSceneFromArrays(centers, radii):
     from l2n_tpu.scene import SphereScene
     centers = np.atleast_2d(np.asarray(centers, np.float32))
@@ -232,11 +313,11 @@ class TestParity:
     def test_validation(self):
         with pytest.raises(ValueError, match="stateless"):
             RenderConfig(fog_density=0.1, rng="tinymt").validate()
-        # fog + nee is supported (analytic shadow transmittance); only the
-        # mis combination is rejected.
+        # fog + nee (analytic shadow transmittance) and fog + nee + mis
+        # (angular balance weights; full weight after fog vertices) are
+        # both supported compositions.
         RenderConfig(fog_density=0.1, nee=True).validate()
-        with pytest.raises(ValueError, match="mis"):
-            RenderConfig(fog_density=0.1, nee=True, mis=True).validate()
+        RenderConfig(fog_density=0.1, nee=True, mis=True).validate()
         with pytest.raises(ValueError, match="emissive_every"):
             RenderConfig(fog_density=0.1, emissive_every=1).validate()
         with pytest.raises(ValueError, match="wavefront"):
