@@ -78,7 +78,45 @@ import os as _os
 
 _SLAB = int(_os.environ.get("L2N_TRI_SLAB", "128"))
 _SUBS = int(_os.environ.get("L2N_TRI_SUBS", "8"))
+# Non-divisor settings would truncate: _SUBS*_SUBSIZE < _SLAB would leave
+# the tail triangles of every slab outside every sub-cluster, silently
+# never intersected (wrong image + misleadingly fast sweeps).
+if _SLAB % 128 != 0 or _SLAB <= 0:
+    raise ValueError(
+        f"L2N_TRI_SLAB={_SLAB}: must be a positive multiple of 128 "
+        "(lane alignment of the slab DMA)")
+if _SUBS <= 0 or _SLAB % _SUBS != 0:
+    raise ValueError(
+        f"L2N_TRI_SUBS={_SUBS}: must divide L2N_TRI_SLAB={_SLAB} exactly "
+        "(otherwise slab-tail triangles fall outside every sub-cluster)")
 _SUBSIZE = _SLAB // _SUBS
+# Structural A/B knobs (results identical either way; only timing moves):
+# L2N_TRI_DB=0 makes the work-list walks stage slabs SYNCHRONOUSLY with the
+# mask-gated copy instead of double-buffered unconditional prefetch;
+# L2N_TRI_PRIMARY=walk routes OBJ primaries through the seeded work-list
+# walk instead of the cone-culled nested-loop sweep. Defaults are the
+# measured winners (benchmarks/PROFILE.md round-4 walk ablations).
+_DOUBLE_BUF = _os.environ.get("L2N_TRI_DB", "1") != "0"
+_PRIMARY_WALK = _os.environ.get("L2N_TRI_PRIMARY", "cone") == "walk"
+
+_ABLATE_WARNED = False
+
+
+def _ablate_mode() -> str:
+    """Read L2N_TRI_ABLATE (benchmarks/obj_walk.py timing probes) and warn
+    LOUDLY the first time it is non-empty: noflags changes the work list,
+    nodma/nowalk produce garbage images (stale SMEM / skipped sweeps). A
+    leaked variable in a normal render or test run must not be silent."""
+    mode = _os.environ.get("L2N_TRI_ABLATE", "")
+    global _ABLATE_WARNED
+    if mode and not _ABLATE_WARNED:
+        _ABLATE_WARNED = True
+        import sys
+        print(f"*** L2N_TRI_ABLATE={mode!r}: ABLATION TIMING PROBE — "
+              "rendered images are NOT correct (stale SMEM / altered "
+              "work list). Unset it for real renders. ***",
+              file=sys.stderr, flush=True)
+    return mode
 
 
 def _spatial_order(cents: np.ndarray) -> np.ndarray:
@@ -160,6 +198,40 @@ def _solid_angle_inside(p: np.ndarray, a: np.ndarray, b: np.ndarray,
     area2 = np.linalg.norm(np.cross(rb - ra, rc - ra), axis=-1)
     total = np.where(area2 > 1e-12, omega, 0.0).sum(-1)
     return np.abs(np.abs(total) - 4.0 * np.pi) < 1e-2
+
+
+def _mesh_watertight(verts: np.ndarray, tris: np.ndarray) -> bool:
+    """Combinatorial watertightness on the INDEXED topology: every
+    undirected edge of the live faces shared by exactly two faces
+    (2-manifold without boundary). The solid-angle certification alone
+    accepts a mesh that is watertight except for a hole subtending
+    < 1e-2 sr from the candidate point — common in imported OBJs — which
+    would make the certain-hit balls unsound for rays through the crack
+    (false shadows / missed hits).
+
+    Operates on the scene's ORIGINAL vertex buffer + face indices (NOT
+    the soup's v1+e1 reconstructions, whose float32 edge rounding breaks
+    bit-identity of shared corners). Vertex ids are first canonicalized
+    by exact position bytes, merging the bit-identical seam/pole
+    duplicates tessellators and OBJ exporters emit; a mesh whose seam
+    duplicates differ in the last ulp conservatively fails — balls are
+    an optimization, never required for the walk's correctness. Faces
+    with two corners on the SAME canonical point (the tessellation's
+    pole slivers) are dropped before counting: the surviving face of
+    each collapsed quad carries the shared edges."""
+    pts = np.ascontiguousarray(np.asarray(verts, np.float32))
+    _, canon = np.unique(pts.view([("", np.float32)] * 3).reshape(-1),
+                         return_inverse=True)
+    a, b, c = canon[tris[:, 0]], canon[tris[:, 1]], canon[tris[:, 2]]
+    live = (a != b) & (b != c) & (a != c)
+    a, b, c = a[live], b[live], c[live]
+    if a.size == 0:
+        return False
+    edges = np.concatenate([np.stack([a, b], 1), np.stack([b, c], 1),
+                            np.stack([c, a], 1)], 0)
+    edges.sort(axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    return bool((counts == 2).all())
 
 
 def _interior_balls(v1, v2, v3, sub_centers, sub_radii) -> np.ndarray:
@@ -372,6 +444,10 @@ def pack_mesh_blocks(
     # pay zero extra unrolled kernel work (dead balls are dropped at trace
     # time, build_triangle_call).
     balls = np.full((m_count, _BALLS, 4), -1.0, np.float32)
+    scene_verts = np.asarray(scene.vertices)
+    scene_tris = np.asarray(scene.indices).reshape(-1, 3)
+    tri_offsets = np.asarray(scene.index_offset) // 3
+    tri_counts = np.asarray(scene.triangle_count)
     for m in range(m_count):
         if inner_gap[m] < 2e30 and \
                 bounds[m, 3] - inner_gap[m] >= 0.25 * bounds[m, 3]:
@@ -379,6 +455,9 @@ def pack_mesh_blocks(
         sel = np.flatnonzero(mesh_id == m)
         if len(sel) == 0:
             continue
+        tris_m = scene_tris[tri_offsets[m]:tri_offsets[m] + tri_counts[m]]
+        if not _mesh_watertight(scene_verts, tris_m):
+            continue  # balls unsound through cracks; walk stays exact
         v1 = np.stack([soup[f"v1{a}"][sel] for a in "xyz"], 1).astype(
             np.float64)
         v2 = v1 + np.stack([soup[f"e1{a}"][sel] for a in "xyz"], 1)
@@ -565,7 +644,7 @@ def _bound_enter(ox, oy, oz, dx, dy, dz, cx, cy, cz, r2):
 
 
 def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
-            *refs):
+            lights, *refs):
     if not cfg.rng_stateful:
         (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
          br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, gap_ref, balls_ref,
@@ -605,17 +684,25 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
     want_tc = cfg.aov in ("tex_coords",)
     zero = jnp.zeros(shape, f32)
 
+    def _slab_copy(m, s, p):
+        """Copy descriptor for (mesh m, slab s) into staging buffer p.
+        One (24, 128) lane-aligned slab copy (VMEM-resident blocks ->
+        SMEM staging; a strided attribute sub-slice DMA measured slower
+        than moving the few extra rows)."""
+        return pltpu.make_async_copy(
+            blocks_hbm.at[m, :, pl.ds(s * _SLAB, _SLAB)],
+            smem_blk.at[p], dma_sem.at[p])
+
     def dma_slab(m, s):
-        # One (24, 128) lane-aligned slab copy (VMEM-resident blocks ->
-        # SMEM staging; a strided attribute sub-slice DMA measured slower
-        # than moving the few extra rows).
-        if _os.environ.get("L2N_TRI_ABLATE", "") == "nodma":
+        # Synchronous staging into buffer 0 (the cone-culled primary
+        # path; the work-list walks pipeline through _walk_items instead).
+        if _ablate_mode() == "nodma":
             # Timing probe only (results are garbage: sweeps read stale
-            # SMEM): measures the synchronous copy's share of the walk to
-            # decide whether double-buffered prefetch could pay.
+            # SMEM): measures the copies' share of the walk (r4: 3.0 vs
+            # 15.5 ms/frame-spp => ~80%, which is what motivated the
+            # double-buffered walk).
             return
-        cp = pltpu.make_async_copy(
-            blocks_hbm.at[m, :, pl.ds(s * _SLAB, _SLAB)], smem_blk, dma_sem)
+        cp = _slab_copy(m, s, 0)
         cp.start()
         cp.wait()
 
@@ -657,13 +744,18 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
     def _sub(m, s, c, k):
         return sub_ref[((m * n_slabs + s) * _SUBS + c) * 5 + k]
 
-    def _masked_slab(m, s, cond_fn, sub_sweep, ox, oy, oz, dx, dy, dz):
+    def _masked_slab(m, s, cond_fn, sub_sweep, ox, oy, oz, dx, dy, dz,
+                     blk=None):
         # Gated slab visit: the _SUBS sub-cluster "needed" bits are
         # reduced in one pass into a single scalar mask; the slab DMA and
         # the 16-tri sweeps only run for set bits. (A per-sub
         # jnp.any/pl.when chain paid a scalar sync per sub-cluster plus an
         # unconditional slab DMA per entered slab — the measured dominant
         # cost of the torus-field bounce walks.)
+        #
+        # `blk` non-None means the slab was already PREFETCHED there by the
+        # double-buffered walk (_walk_items) — no copy here; None keeps
+        # the synchronous buffer-0 staging (primary path).
         mask = jnp.int32(0)
         for c in range(_SUBS):
             entc, hbc, _ = _bound_enter(
@@ -676,25 +768,27 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
 
         @pl.when(mask != 0)
         def _do():
-            dma_slab(m, s)
+            if blk is None:
+                dma_slab(m, s)
+            b = smem_blk.at[0] if blk is None else blk
             for c in range(_SUBS):
                 @pl.when((mask >> c) & 1 != 0)
                 def _one(c=c):
-                    sub_sweep(c)
+                    sub_sweep(c, b)
 
-    def sweep_slab(m, s, ox, oy, oz, dx, dy, dz):
-        def sub_sweep(c):
+    def sweep_slab(m, s, ox, oy, oz, dx, dy, dz, blk=None):
+        def sub_sweep(c, b):
             if fast:
                 write_best(_sweep_mesh_fast(
-                    smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
+                    b, m, read_best(), ox, oy, oz, dx, dy, dz,
                     c * _SUBSIZE, _SUBSIZE))
             else:
                 write_best(_sweep_mesh(
-                    smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
+                    b, m, read_best(), ox, oy, oz, dx, dy, dz,
                     c * _SUBSIZE, _SUBSIZE, want_tc))
 
         _masked_slab(m, s, lambda entc, lowc: entc & (lowc < best_f[0]),
-                     sub_sweep, ox, oy, oz, dx, dy, dz)
+                     sub_sweep, ox, oy, oz, dx, dy, dz, blk=blk)
 
     def pick_bound_r2(bmesh):
         # Winner's bound r^2 (cone-NEE MIS input) via one scalar mesh pass.
@@ -809,7 +903,7 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
         # front-to-back mesh order. Branch-free append: write always,
         # advance the cursor by the flag.
         flags_vmem[...] = frow
-        cp = pltpu.make_async_copy(flags_vmem, flags_ref, dma_sem)
+        cp = pltpu.make_async_copy(flags_vmem, flags_ref, dma_sem.at[0])
         cp.start()
         cp.wait()
 
@@ -838,25 +932,74 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
         return _compact(frow)
 
     def _walk_items(n_work, visit_fn):
-        # Rolled walk over the compacted items; visit_fn(m, s) re-checks
-        # per-lane liveness inside its own masked gate (the static flags
-        # only saw the seed, earlier sweeps tighten the live best).
-        def per_item(j, _):
+        # Rolled DOUBLE-BUFFERED walk over the compacted items: the slab
+        # copy for item j+1 is issued before item j's sweeps run, hiding
+        # the VMEM->SMEM latency that the r4 nodma ablation measured at
+        # ~80% of the whole walk (3.0 vs 15.5 ms/frame-spp). Copies are
+        # unconditional by work-list order — the flag pass already
+        # filtered to plausible items. Measured +7% on the torus field
+        # (13.6 -> 12.6 ms/frame-spp) — less than the copy share
+        # suggests, because the synchronous path's mask-gated copy skips
+        # items the live best has fully pruned while the prefetcher pays
+        # every flagged item; the net is still a win (PROFILE.md r4 walk
+        # ablations). visit_fn(m, s, blk) re-checks per-lane liveness
+        # inside its own masked gate (the static flags only saw the seed;
+        # earlier sweeps tighten the live best).
+        if _ablate_mode() == "nodma":
+            def per_item(j, _):
+                q = wlist_ref[j]
+                visit_fn(q >> sp_log, q & (spp - 1), smem_blk.at[0])
+                return _
+
+            jax.lax.fori_loop(0, n_work, per_item, jnp.int32(0))
+            return
+
+        if not _DOUBLE_BUF:
+            # Synchronous variant (L2N_TRI_DB=0): blk=None routes each
+            # visit through _masked_slab's mask-GATED buffer-0 copy —
+            # items whose every sub-cluster is already pruned by the live
+            # best skip their DMA entirely, at the price of exposed copy
+            # latency on the items that do sweep.
+            def per_item_sync(j, _):
+                q = wlist_ref[j]
+                visit_fn(q >> sp_log, q & (spp - 1), None)
+                return _
+
+            jax.lax.fori_loop(0, n_work, per_item_sync, jnp.int32(0))
+            return
+
+        def start_copy(j, p):
             q = wlist_ref[j]
-            visit_fn(q >> sp_log, q & (spp - 1))
+            _slab_copy(q >> sp_log, q & (spp - 1), p).start()
+
+        @pl.when(n_work > 0)
+        def _prologue():
+            start_copy(jnp.int32(0), jnp.int32(0))
+
+        def per_item(j, _):
+            p = j & 1
+            q = wlist_ref[j]
+            m, s = q >> sp_log, q & (spp - 1)
+            _slab_copy(m, s, p).wait()
+
+            @pl.when(j + 1 < n_work)
+            def _next():
+                start_copy(j + 1, 1 - p)
+
+            visit_fn(m, s, smem_blk.at[p])
             return _
 
         jax.lax.fori_loop(0, n_work, per_item, jnp.int32(0))
 
-    def anyhit_slab(m, s, lane_mask, ox, oy, oz, dx, dy, dz):
-        def sub_sweep(c):
+    def anyhit_slab(m, s, lane_mask, ox, oy, oz, dx, dy, dz, blk=None):
+        def sub_sweep(c, b):
             best_i[0] = _anyhit_mesh(
-                smem_blk, best_i[0], ox, oy, oz, dx, dy, dz,
+                b, best_i[0], ox, oy, oz, dx, dy, dz,
                 c * _SUBSIZE, _SUBSIZE)
 
         _masked_slab(m, s,
                      lambda entc, lowc: lane_mask & entc & (best_i[0] == 0),
-                     sub_sweep, ox, oy, oz, dx, dy, dz)
+                     sub_sweep, ox, oy, oz, dx, dy, dz, blk=blk)
 
     def _pending_walk(pending, ox, oy, oz, dx, dy, dz):
         # Fallback slab-sweep walk for shellwalk's PENDING lanes (wide
@@ -867,21 +1010,21 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
             lambda enter, lower: pending & enter & (lower < best_f[0]),
             ox, oy, oz, dx, dy, dz)
 
-        def visit(m, s):
-            def sub_sweep(c):
+        def visit(m, s, blk):
+            def sub_sweep(c, b):
                 if fast:
                     write_best(_sweep_mesh_fast(
-                        smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
+                        b, m, read_best(), ox, oy, oz, dx, dy, dz,
                         c * _SUBSIZE, _SUBSIZE))
                 else:
                     write_best(_sweep_mesh(
-                        smem_blk, m, read_best(), ox, oy, oz, dx, dy, dz,
+                        b, m, read_best(), ox, oy, oz, dx, dy, dz,
                         c * _SUBSIZE, _SUBSIZE, want_tc))
 
             _masked_slab(m, s,
                          lambda entc, lowc: pending & entc
                          & (lowc < best_f[0]),
-                         sub_sweep, ox, oy, oz, dx, dy, dz)
+                         sub_sweep, ox, oy, oz, dx, dy, dz, blk=blk)
 
         _walk_items(n_work, visit)
 
@@ -924,8 +1067,9 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
         n_work = _flag_items(lambda enter, lower: pend & enter,
                              ox, oy, oz, dx, dy, dz)
         _walk_items(n_work,
-                    lambda m, s: anyhit_slab(m, s, pend,
-                                             ox, oy, oz, dx, dy, dz))
+                    lambda m, s, blk: anyhit_slab(m, s, pend,
+                                                  ox, oy, oz, dx, dy, dz,
+                                                  blk=blk))
         return best_i[0] != 0
 
     def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
@@ -975,8 +1119,7 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
         seed = t_ub * f32(1.0 + 4e-6) + f32(1e-5)
         best_f[0] = seed
 
-        import os as _os
-        _ab = _os.environ.get("L2N_TRI_ABLATE", "")
+        _ab = _ablate_mode()
         if _ab == "noflags":   # walk every item (flag-pass cost probe)
             def fill(j, k):
                 m = order_ref[j]
@@ -996,8 +1139,8 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
             # Each visit re-checks against the LIVE best: earlier sweeps
             # in the front-to-back order tighten it below the static seed.
             _walk_items(n_work,
-                        lambda m, s: sweep_slab(m, s, ox, oy, oz,
-                                                dx, dy, dz))
+                        lambda m, s, blk: sweep_slab(m, s, ox, oy, oz,
+                                                     dx, dy, dz, blk=blk))
         return finish(ox, oy, oz, dx, dy, dz)
 
     def intersect_anyhit(ox, oy, oz, dx, dy, dz):
@@ -1030,13 +1173,26 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
         n_work = _flag_items(lambda enter, lower: uncertain & enter,
                              ox, oy, oz, dx, dy, dz)
         _walk_items(n_work,
-                    lambda m, s: anyhit_slab(m, s, True,
-                                             ox, oy, oz, dx, dy, dz))
+                    lambda m, s, blk: anyhit_slab(m, s, True,
+                                                  ox, oy, oz, dx, dy, dz,
+                                                  blk=blk))
         return best_i[0] != 0
 
     if shellwalk_cfg is not None:
         intersect = intersect_shell
         intersect_anyhit = intersect_anyhit_shell
+    elif _PRIMARY_WALK:
+        # L2N_TRI_PRIMARY=walk, arbitrary (OBJ) scenes: primaries take the
+        # SAME seeded work-list walk as bounces — inheriting the
+        # inscribed-sphere/interior-ball upper-bound seeding and the
+        # double-buffered slab copies. MEASURED LOSER on the torus field
+        # (the cone-culled nested sweep prunes coherent primaries harder
+        # than the all-items flag pass; benchmarks/PROFILE.md round-4 walk
+        # ablations), kept as a knob for scenes where per-tile cones are
+        # loose. Results identical either way (the per-lane slab bounds
+        # subsume the per-tile cone geometrically, modulo the usual fp tie
+        # class).
+        intersect_primary = intersect
 
     light_sampler = None
     if cfg.nee:
@@ -1059,7 +1215,7 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
                         skip_empty=cfg.skip_empty_tiles,
                         intersect_primary=intersect_primary,
                         intersect_anyhit=intersect_anyhit,
-                        light_sampler=light_sampler)
+                        light_sampler=light_sampler, lights=lights)
         sum_r, sum_g, sum_b = sum_r + r, sum_g + g, sum_b + b
         if cfg.rng_stateful and s + 1 < cfg.spp_per_step:
             finalize()
@@ -1069,7 +1225,7 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
     finalize()
 
 
-def build_triangle_call(cfg, scene: TriangleScene):
+def build_triangle_call(cfg, scene: TriangleScene, lights=None):
     """The raw pallas_call over one framebuffer (or one shard's slab) plus
     its static operands and per-camera helpers — used by the single-chip
     step below and, per shard, by the multi-chip shard_map step
@@ -1207,8 +1363,13 @@ def build_triangle_call(cfg, scene: TriangleScene):
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.SMEM((_N_ROWS, _SLAB), jnp.float32),  # one staged slab
-            pltpu.SemaphoreType.DMA(()),
+            # TWO staged slabs: the work-list walks double-buffer the
+            # VMEM->SMEM copies (item j+1's slab lands while item j's
+            # sweeps run; the r4 nodma ablation measured the synchronous
+            # copies at ~80% of the walk). The cone-culled primary path
+            # stays synchronous in buffer 0.
+            pltpu.SMEM((2, _N_ROWS, _SLAB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1 if fast else 8, th, tw), jnp.float32),  # best hit
             pltpu.VMEM((1, th, tw), jnp.int32),     # best mesh / any-hit
             # Bounce-walk work lists: vector-built flag row, its SMEM copy,
@@ -1221,7 +1382,7 @@ def build_triangle_call(cfg, scene: TriangleScene):
 
     call = pl.pallas_call(
         partial(_kernel, cfg, mesh_count, tpad, fast, shellwalk_cfg, items,
-                mesh_balls),
+                mesh_balls, lights),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
@@ -1238,11 +1399,12 @@ def build_triangle_call(cfg, scene: TriangleScene):
 
 @register_kernel("triangle")
 def build_triangle_step(cfg, scene: TriangleScene, tile_array,
-                        donate: bool = True, steps_per_call: int = 1):
+                        donate: bool = True, steps_per_call: int = 1,
+                        lights=None):
     """Returns step(FrameState, packed_camera) -> FrameState, ALREADY
     jitted, with per-camera precomputations (cone-cull table, front-to-back
     order) cached host-side like the sphere kernel's."""
-    call, aux = build_triangle_call(cfg, scene)
+    call, aux = build_triangle_call(cfg, scene, lights=lights)
     tile_array = jnp.asarray(tile_array)
     k = cfg.effective_tiles_per_step
 

@@ -231,6 +231,44 @@ class TestTriangleKernel:
                 bad = cross & (tn > t_in * (1 + 1e-5) + 1e-6)
                 assert not bad.any()
 
+    def test_watertightness_gates_balls(self):
+        """ADVICE r3: the solid-angle certification alone accepts a mesh
+        with a < 1e-2 sr hole; a combinatorial edge-manifold check on the
+        indexed topology must gate ball construction. A closed torus
+        passes; the same torus with ONE face removed (a crack the
+        solid-angle test cannot see from most candidates) gets NO balls —
+        while a watertight neighbor in the same scene keeps its own."""
+        import dataclasses as dc
+        from l2n_tpu.ops.kernels.triangle_pt import (
+            _mesh_watertight,
+            pack_mesh_blocks,
+        )
+        from l2n_tpu.scene.obj import load_obj
+        from l2n_tpu.scene.procgen import torus_field_obj
+        scene = load_obj(torus_field_obj(n_tori=2, seg_u=16, seg_v=10,
+                                         world_size=512.0))
+        verts = np.asarray(scene.vertices)
+        tris = np.asarray(scene.indices).reshape(-1, 3)
+        offs = np.asarray(scene.index_offset) // 3
+        cnts = np.asarray(scene.triangle_count)
+        tris0 = tris[offs[0]:offs[0] + cnts[0]]
+        assert _mesh_watertight(verts, tris0)
+        assert not _mesh_watertight(verts, tris0[:-1])  # one-face crack
+        # Scene-level: crack mesh 0 only; mesh 1 must keep its balls.
+        cracked = dc.replace(
+            scene,
+            indices=jnp.concatenate([
+                scene.indices[:(offs[0] + cnts[0] - 1) * 3],
+                scene.indices[(offs[0] + cnts[0]) * 3:]]),
+            triangle_count=jnp.asarray(
+                np.array([cnts[0] - 1, cnts[1]], np.int32)),
+            index_offset=jnp.asarray(
+                np.array([offs[0] * 3, (offs[0] + cnts[0] - 1) * 3],
+                         np.int32)))
+        balls = pack_mesh_blocks(cracked)[7]
+        assert not (balls[0, :, 3] > 0).any()
+        assert (balls[1, :, 3] > 0).any()
+
     def _obj_multislab_parity(self, **cfg_kw):
         """Arbitrary imported geometry (tori: no sphere-exact normals, no
         shellwalk, >128 triangles per mesh => MULTI-slab work lists) through
