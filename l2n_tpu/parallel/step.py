@@ -4,6 +4,9 @@ Sharding layout (the renderer's analog of a dp/sp-sharded training step):
 
   accum   (n_sample, 4, Hp, Wp)  P("sample", None, "tile", None)
   output  (3, Hp, Wp)            P(None, "tile", None)
+  rng     (S, Hp, Wp) u32        P(None, "tile", None) — stateful parity
+                                 modes only (per-pixel streams live with
+                                 their slab; sample axis must be 1)
   camera / tile offset           replicated
   tile schedules (n_tile, T, 2)  P("tile", None, None) — one shuffled
                                  schedule per row slab
@@ -38,6 +41,10 @@ class ShardedFrameState:
     output: jnp.ndarray       # (3, Hp, Wp)
     tile_offset: jnp.ndarray  # () i32
     iteration: jnp.ndarray    # () i32
+    # Per-pixel RNG state planes for the stateful parity modes (tinymt /
+    # tauslcg): (S, Hp, Wp) u32, sharded P(None, "tile", None) — each
+    # pixel's stream lives with its slab. None under stateless samplers.
+    rng_state: jnp.ndarray | None = None
 
 
 def slab_tile_grids(cfg: RenderConfig, n_tile: int) -> np.ndarray:
@@ -56,14 +63,25 @@ def slab_tile_grids(cfg: RenderConfig, n_tile: int) -> np.ndarray:
 
 
 def init_sharded_state(cfg: RenderConfig, mesh: Mesh) -> ShardedFrameState:
-    if cfg.rng_stateful:
-        raise NotImplementedError(
-            "sharded rendering needs a stateless sampler (threefry/tpu_hw); "
-            "the stateful TinyMT/TausLCG parity modes are single-chip — "
-            "their per-pixel state planes are tied to the reference's "
-            "single-framebuffer layout")
     n_sample = mesh.shape["sample"]
     hp, wp = cfg.padded_height, cfg.padded_width
+    rng_state = None
+    if cfg.rng_stateful:
+        # The reference assigns exactly ONE stream per pixel
+        # (computeTinyMTStateVector, src/main.cpp:859-878); a sample axis
+        # would have replicas retrace identical streams. Row slabs are
+        # fine: the per-pixel planes are global-image functions sliced by
+        # row, so sharding them alongside the framebuffer changes nothing.
+        if n_sample != 1:
+            raise ValueError(
+                "stateful parity samplers (tinymt/tauslcg) shard over "
+                "'tile' only: the reference's streams are per-pixel, so "
+                "sample-axis replicas would duplicate them — use "
+                "mesh sample=1 or a stateless sampler")
+        from l2n_tpu.render.state import init_frame_state
+        rng_state = jax.device_put(
+            init_frame_state(cfg).rng_state,
+            NamedSharding(mesh, P(None, "tile", None)))
     accum = jax.device_put(
         jnp.zeros((n_sample, 4, hp, wp), jnp.float32),
         NamedSharding(mesh, P("sample", None, "tile", None)))
@@ -71,7 +89,8 @@ def init_sharded_state(cfg: RenderConfig, mesh: Mesh) -> ShardedFrameState:
         jnp.zeros((3, hp, wp), jnp.float32),
         NamedSharding(mesh, P(None, "tile", None)))
     return ShardedFrameState(accum=accum, output=output,
-                             tile_offset=jnp.int32(0), iteration=jnp.int32(0))
+                             tile_offset=jnp.int32(0), iteration=jnp.int32(0),
+                             rng_state=rng_state)
 
 
 def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
@@ -88,6 +107,11 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
         from l2n_tpu.ops.kernels import KERNELS
         backend = ("pallas" if cfg.scene_kind in KERNELS
                    and not cfg.rng_stateful else "xla")
+    if cfg.rng_stateful and backend == "pallas":
+        raise ValueError(
+            "sharded stateful parity modes run on the xla backend (the "
+            "sharded pallas call does not thread the per-pixel state "
+            "planes); use backend='xla' or 'auto'")
     n_tile = mesh.shape["tile"]
     intersect, miss_color, light_sampler, anyhit = make_intersector(cfg, scene)
     tile_grids = jnp.asarray(slab_tile_grids(cfg, n_tile))
@@ -154,17 +178,22 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
             % jnp.int32(tiles_l.shape[0]),
             iteration=local.iteration + 1, rng_state=None)
 
-    def body(tiles_l, tables_l, order, accum_l, out_l, offset, iteration,
-             camera):
+    stateful = cfg.rng_stateful
+
+    def body(tiles_l, tables_l, order, accum_l, out_l, rng_l, offset,
+             iteration, camera):
         # Local views: tiles_l (1, T, 2), tables_l (1, T_slab, 1+n),
-        # accum_l (1, 4, hl, Wp), out_l (3, hl, Wp); order replicated.
+        # accum_l (1, 4, hl, Wp), out_l (3, hl, Wp), rng_l (S, hl, Wp) or a
+        # (1, 1, 1) placeholder for stateless modes; order replicated.
         tile_rank = jax.lax.axis_index("tile")
         sample_rank = jax.lax.axis_index("sample")
         local = FrameState(accum=accum_l[0], output=out_l,
                            tile_offset=offset, iteration=iteration,
-                           rng_state=None)
+                           rng_state=rng_l if stateful else None)
         # Distinct RNG stream per (sample replica, slab): sampling is
         # decorrelated everywhere without any cross-chip coordination.
+        # (Stateful modes ignore it — their streams are the per-pixel
+        # state planes, slab-local like the framebuffer.)
         stream = sample_rank * jnp.uint32(n_tile) + tile_rank.astype(jnp.uint32)
         if backend == "pallas":
             new = _pallas_local_step(tiles_l[0], tables_l[0], order, local,
@@ -185,24 +214,32 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
             / jnp.maximum(folded[3:4], jnp.float32(1e-20)),
             jnp.float32(cfg.gamma))
         out = jnp.where(mask[None], display, out_l)
-        return new.accum[None], out, new.tile_offset, new.iteration
+        new_rng = new.rng_state if stateful else rng_l
+        return new.accum[None], out, new_rng, new.tile_offset, new.iteration
 
     shard = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("tile", None, None), P("tile", None, None), P(),
                   P("sample", None, "tile", None),
-                  P(None, "tile", None), P(), P(), P()),
+                  P(None, "tile", None),
+                  P(None, "tile", None) if stateful else P(),
+                  P(), P(), P()),
         out_specs=(P("sample", None, "tile", None), P(None, "tile", None),
+                   P(None, "tile", None) if stateful else P(),
                    P(), P()),
         check_vma=False,
     )
 
+    rng_placeholder = jnp.zeros((1, 1, 1), jnp.uint32)
+
     def jit_body(state: ShardedFrameState, camera, tables, order):
-        accum, output, offset, iteration = shard(
+        accum, output, rng_state, offset, iteration = shard(
             tile_grids, tables, order, state.accum, state.output,
+            state.rng_state if stateful else rng_placeholder,
             state.tile_offset, state.iteration, camera)
         return ShardedFrameState(accum=accum, output=output,
-                                 tile_offset=offset, iteration=iteration)
+                                 tile_offset=offset, iteration=iteration,
+                                 rng_state=rng_state if stateful else None)
 
     jit_step = jax.jit(jit_body, donate_argnums=(0,) if donate else ())
     dummy_tables = jnp.zeros((n_tile, slab_table_count, 1), jnp.int32)

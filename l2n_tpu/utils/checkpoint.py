@@ -71,6 +71,10 @@ def save_sharded_session(path: str | Path, cfg: RenderConfig, state,
         "tile_offset": np.asarray(state.tile_offset),
         "iteration": np.asarray(state.iteration),
     }
+    if state.rng_state is not None:
+        # Stateful parity modes: the per-pixel streams ARE the state —
+        # resuming without them would restart every pixel's sequence.
+        arrays["rng_state"] = np.asarray(state.rng_state)
     if view_matrix is not None:
         arrays["view_matrix"] = np.asarray(view_matrix, np.float32)
     np.savez_compressed(path, config=np.frombuffer(
@@ -100,9 +104,15 @@ def load_sharded_session(path: str | Path, mesh):
         output = jax.device_put(
             jnp.asarray(data["output"]),
             NamedSharding(mesh, P(None, "tile", None)))
+        rng_state = None
+        if "rng_state" in data:
+            rng_state = jax.device_put(
+                jnp.asarray(data["rng_state"]),
+                NamedSharding(mesh, P(None, "tile", None)))
         state = ShardedFrameState(
             accum=accum, output=output,
             tile_offset=jnp.int32(data["tile_offset"]),
-            iteration=jnp.int32(data["iteration"]))
+            iteration=jnp.int32(data["iteration"]),
+            rng_state=rng_state)
         view = data["view_matrix"] if "view_matrix" in data else None
     return cfg, state, view

@@ -265,12 +265,76 @@ class TestShardedCheckpoint:
             load_sharded_session(path, make_device_mesh(2, 4))
 
 
-class TestStatefulRngErrorPath:
-    """Stateful parity RNG is explicitly single-chip (r1 VERDICT item 6:
-    'either stateful-RNG sharding or an explicit tested error-path')."""
+class TestStatefulRngSharding:
+    """Stateful parity modes shard over 'tile' (r3 VERDICT item 6): the
+    per-pixel state planes are global-image functions sliced by row, so a
+    slab render must reproduce the single-device render BIT-EXACTLY — each
+    pixel owns its stream, and slabbing cannot change it."""
 
-    def test_tinymt_raises(self):
+    def _single_device_state(self, cfg, scene, steps):
+        from l2n_tpu.render.state import init_frame_state
+        from l2n_tpu.render.step import build_render_step
+        step = build_render_step(cfg, scene, backend="xla")
+        st = init_frame_state(cfg)
+        cam = Camera.from_config(cfg).packed()
+        for _ in range(steps):
+            st = step(st, cam)
+        return st
+
+    @pytest.mark.parametrize("rng", ["tinymt", "tauslcg"])
+    def test_sharded_matches_single_device_bit_exact(self, rng):
+        cfg = CFG.replace(rng=rng)
+        scene = compute_spheres(cfg.sphere_count, cfg.world_size,
+                                cfg.scene_seed)
+        # Full tile coverage in both: 8 tiles at 1/step single-device;
+        # 2 per-slab tiles at 1/step across 4 slabs sharded. After one
+        # full cycle every pixel took exactly spp samples from ITS OWN
+        # stream, so accumulation AND stepped state planes must be equal
+        # bit for bit.
+        single = self._single_device_state(cfg, scene, steps=cfg.tile_count)
+        mesh = make_device_mesh(4, 1)
+        r = ShardedRenderer(cfg, scene, mesh)
+        cam = Camera.from_config(cfg)
+        for _ in range(2):
+            r.step(cam)
+        np.testing.assert_array_equal(np.asarray(r.state.accum[0]),
+                                      np.asarray(single.accum))
+        np.testing.assert_array_equal(np.asarray(r.state.rng_state),
+                                      np.asarray(single.rng_state))
+
+    def test_sample_axis_replicas_rejected(self):
+        """One stream per pixel (reference semantics): a sample axis would
+        make replicas retrace identical streams."""
         from l2n_tpu.parallel.step import init_sharded_state
         mesh = make_device_mesh(4, 2)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="per-pixel"):
             init_sharded_state(CFG.replace(rng="tinymt"), mesh)
+
+    def test_sharded_pallas_backend_rejected(self):
+        from l2n_tpu.parallel.step import build_sharded_step
+        mesh = make_device_mesh(4, 1)
+        scene = compute_spheres(CFG.sphere_count, CFG.world_size,
+                                CFG.scene_seed)
+        with pytest.raises(ValueError, match="xla"):
+            build_sharded_step(CFG.replace(rng="tinymt"), scene, mesh,
+                               backend="pallas")
+
+    def test_checkpoint_roundtrip_carries_streams(self, tmp_path):
+        cfg = CFG.replace(rng="tauslcg")
+        scene = compute_spheres(cfg.sphere_count, cfg.world_size,
+                                cfg.scene_seed)
+        mesh = make_device_mesh(4, 1)
+        r = ShardedRenderer(cfg, scene, mesh)
+        cam = Camera.from_config(cfg)
+        r.step(cam)
+        path = r.save_session(tmp_path / "stateful.npz")
+        r2 = ShardedRenderer(cfg, scene, mesh)
+        r2.load_session(path)
+        np.testing.assert_array_equal(np.asarray(r2.state.rng_state),
+                                      np.asarray(r.state.rng_state))
+        # Resumed streams CONTINUE: the next step must equal the original
+        # renderer's next step bit-exactly.
+        r.step(cam)
+        r2.step(cam)
+        np.testing.assert_array_equal(np.asarray(r2.state.accum),
+                                      np.asarray(r.state.accum))
