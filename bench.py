@@ -223,8 +223,15 @@ def stage_obj() -> dict:
     from l2n_tpu.scene.obj import load_obj
     from l2n_tpu.scene.procgen import torus_field_obj
 
-    cfg = _headline_cfg(True).replace(scene_kind="triangle", spp_per_step=4,
-                                      tiles_per_step=256)
+    # spp1 whole-frame steps measured 12% faster than spp4/256-tile for
+    # the slab walk (knob_sweep r4: 13.7 vs 15.5 ms/frame-spp; the
+    # OPPOSITE of the tessellated scene, where spp1 lost 3%): one sample
+    # per bounce walk keeps the per-slab DMA/flag machinery's live range
+    # short, and whole-frame dispatch amortizes the schedule. With the
+    # double-buffered slab copies this shape lands 12.6 ms/frame-spp
+    # (PROFILE.md round-4 walk ablations).
+    cfg = _headline_cfg(True).replace(scene_kind="triangle", spp_per_step=1,
+                                      tiles_per_step=1024)
     scene = load_obj(torus_field_obj())
     log(f"obj scene: meshes={scene.mesh_count} tris={scene.total_triangles}")
     prog = TriangleProgram(cfg, scene=scene, backend="pallas")
@@ -250,13 +257,25 @@ STAGES = {
 # Parent orchestrator (no JAX — immune to compile stalls).
 # --------------------------------------------------------------------------
 
-def run_stage(name: str, timeout_s: float) -> dict | None:
-    log(f"--- stage {name} (budget {timeout_s:.0f}s)")
+def _cpu_env() -> dict:
+    """Environment for a forced-CPU stage: the axon plugin HANGS (not
+    errors) on every jax init when the tunnel is down, so the fallback
+    must both remove the pool routing and pin the platform."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def run_stage(name: str, timeout_s: float, env: dict | None = None
+              ) -> dict | None:
+    log(f"--- stage {name} (budget {timeout_s:.0f}s"
+        + (", forced CPU" if env else "") + ")")
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--stage", name],
-            stdout=subprocess.PIPE, timeout=timeout_s, cwd=os.path.dirname(
-                os.path.abspath(__file__)) or None)
+            stdout=subprocess.PIPE, timeout=timeout_s, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or None)
     except subprocess.TimeoutExpired:
         log(f"stage {name}: killed at {timeout_s:.0f}s budget")
         return None
@@ -293,49 +312,54 @@ def main() -> None:
     t0 = time.monotonic()
     remaining = lambda: TOTAL_BUDGET_S - (time.monotonic() - t0)
 
-    # Wait out a down tunnel for up to half the budget (probe ~90s each).
-    while not probe_device(min(90.0, max(10.0, remaining() - 10.0))):
+    # Wait out a down tunnel for up to ~25% of the budget (probe ~60s
+    # each). Round 3 let the probe phase eat 315/480s and the headline
+    # died in what was left — a CPU-fallback record beats value 0.0, and
+    # a capped probe leaves a mid-budget tunnel recovery room to land.
+    tunnel_down = False
+    while not probe_device(min(60.0, max(10.0, remaining() - 10.0))):
         log(f"device probe failed ({remaining():.0f}s budget left)")
-        if remaining() < 0.55 * TOTAL_BUDGET_S:
-            log("proceeding anyway; stages will fail fast if it is down")
+        if remaining() < 0.75 * TOTAL_BUDGET_S:
+            tunnel_down = True
+            log("tunnel down: falling back to forced-CPU stages")
             break
-        time.sleep(15.0)
+        time.sleep(10.0)
 
     # Headline is required: give it the budget minus a reserve for the
     # final print (secondaries are sacrificed if it runs long).
-    head = run_stage("headline", max(60.0, remaining() - 15.0))
+    env = _cpu_env() if tunnel_down else None
+    head = run_stage("headline", max(60.0, remaining() - 15.0), env=env)
+    if head is None and not tunnel_down:
+        # TPU headline died despite a live probe (mid-stage tunnel drop,
+        # cold-compile overrun). A CPU record still beats 0.0.
+        tunnel_down = True
+        env = _cpu_env()
+        head = run_stage("headline", max(45.0, remaining() - 10.0), env=env)
     if head is None:
         # Still emit a parseable record rather than nothing.
         print(json.dumps({
             "metric": "Mrays/sec/chip (sphere path tracer, 1024x1024, "
                       "depth 2 + RR)",
             "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
-            "detail": {"error": "headline stage failed or timed out"},
+            "detail": {"error": "headline stage failed or timed out "
+                                "(TPU and CPU fallback)"},
         }), flush=True)
         return
 
     detail = {k: v for k, v in head.items()
               if k not in ("on_tpu", "mrays_per_sec")}
+    if tunnel_down:
+        detail["error"] = "tunnel down; CPU fallback"
     # VERDICT r2 item 2: measured deltas of both candidate designs for
-    # closing the last ~5% to 1 Gray/s, plus the quantified roofline.
-    # Full protocol + numbers: benchmarks/PROFILE.md ("Round-3: the
-    # 1 Gray/s gap, quantified") and benchmarks/bounce_union.py.
+    # closing the last ~5% to 1 Gray/s. The numbers live in
+    # benchmarks/PROFILE.md ("Round-3: the 1 Gray/s gap, quantified") +
+    # benchmarks/bounce_union.py — static round-3 measurements, NOT
+    # produced by this run (ADVICE r3: don't re-emit them as if fresh).
     detail["roofline"] = {
-        "bounce_origin_cull": {
-            "block_union_density_mean": 0.406,
-            "block_union_density_p10": 0.214,
-            "per_lane_density": 0.26,
-            "verdict": "cull machinery ~1us/block exceeds the whole "
-                       "bounce region (0.76us/tile-spp); sphere bound "
-                       "test == intersection test, so per-candidate "
-                       "culling saves nothing",
-        },
-        "mxu_sweep": {
-            "isolated_speedup": 1.25,
-            "verdict": "isolation artifact: in-kernel VPU sweep is ~3x "
-                       "the isolated baseline and already issue-bound; "
-                       "breaks exact parity of c for no in-kernel gain",
-        },
+        "see": "benchmarks/PROFILE.md: 'Round-3: the 1 Gray/s gap, "
+               "quantified' (bounce-union density 0.406, MXU sweep an "
+               "isolation artifact)",
+        "measured_at": "round 3, commit c7bc749, 2026-08-17",
     }
     on_tpu = head.get("on_tpu", False)
     secondaries = ["threefry", "triangle", "obj"] if on_tpu else []

@@ -65,6 +65,22 @@ def sphere_variant(name, **kw):
     print(f"{name}: {dt*1e3:.3f} ms/step -> {mrays:.1f} Mrays/s", flush=True)
 
 
+def tess_variant(name, **kw):
+    """Tessellated-sphere triangle scene (bench stage_triangle's
+    workload): 128 meshes x 256 triangles, shellwalk shortcut live."""
+    base = dict(width=1024, height=1024, tile_height=32, tile_width=128,
+                tiles_per_step=256, spp_per_step=4, scene_kind="triangle")
+    base.update(kw)
+    cfg = RenderConfig(**base).validate()
+    prog = TriangleProgram(cfg, backend="pallas")
+    dt = measure(prog, cfg, calls=2)
+    ms_full = dt * 1e3 * (cfg.width * cfg.height) / (
+        cfg.effective_tiles_per_step * cfg.tile_height * cfg.tile_width
+        * cfg.spp_per_step)
+    print(f"{name}: {dt*1e3:.2f} ms/step -> {ms_full:.1f} ms/frame-spp",
+          flush=True)
+
+
 def torus_variant(name, **kw):
     base = dict(width=1024, height=1024, tile_height=32, tile_width=128,
                 tiles_per_step=256, spp_per_step=4, scene_kind="triangle")
@@ -80,7 +96,28 @@ def torus_variant(name, **kw):
           flush=True)
 
 
+TORUS_VARIANTS = {
+    "torus0": ("torus 32x128 spp4 (baseline)", {}),
+    "torus1": ("torus 64x128 spp4",
+               dict(tile_height=64, tiles_per_step=128)),
+    "torus2": ("torus 32x128 spp1",
+               dict(spp_per_step=1, tiles_per_step=1024)),
+    "torus3": ("torus 16x128 spp4",
+               dict(tile_height=16, tiles_per_step=512)),
+}
+
+TESS_VARIANTS = {
+    "tess0": ("tess 32x128 spp4 t256 (ship)", {}),
+    "tess1": ("tess 32x128 spp1 t1024",
+              dict(spp_per_step=1, tiles_per_step=1024)),
+    "tess2": ("tess 32x128 spp1 t256",
+              dict(spp_per_step=1, tiles_per_step=256)),
+}
+
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
+if which in TESS_VARIANTS:
+    name, kw = TESS_VARIANTS[which]
+    tess_variant(name, **kw)
 if which in ("all", "sphere"):
     sphere_variant("sphere 32x128 spp4 (baseline)")
     sphere_variant("sphere 64x128 spp4", tile_height=64, tiles_per_step=512)
@@ -88,7 +125,8 @@ if which in ("all", "sphere"):
     sphere_variant("sphere 32x128 spp8", spp_per_step=8)
     sphere_variant("sphere 16x128 spp4", tile_height=16, tiles_per_step=2048)
 if which in ("all", "torus"):
-    torus_variant("torus 32x128 spp4 (baseline)")
-    torus_variant("torus 64x128 spp4", tile_height=64, tiles_per_step=128)
-    torus_variant("torus 32x128 spp1", spp_per_step=1, tiles_per_step=1024)
-    torus_variant("torus 16x128 spp4", tile_height=16, tiles_per_step=512)
+    for name, kw in TORUS_VARIANTS.values():
+        torus_variant(name, **kw)
+elif which in TORUS_VARIANTS:  # one variant per process (Mosaic compiles
+    name, kw = TORUS_VARIANTS[which]  # are minutes each; budget separately)
+    torus_variant(name, **kw)

@@ -82,10 +82,16 @@ def main() -> None:
     scene = load_obj(torus_field_obj())
     print(f"meshes={scene.mesh_count} tris={scene.total_triangles}",
           file=sys.stderr)
-    if len(sys.argv) > 1 and sys.argv[1] == "ablate":
+    arg = sys.argv[1] if len(sys.argv) > 1 else ""
+    if arg == "ablate":
         for tag in ("full", "noflags", "nowalk", "nodma"):
             os.environ["L2N_TRI_ABLATE"] = "" if tag == "full" else tag
             measure(tag, cfg, scene)
+    elif arg in ("noflags", "nowalk", "nodma"):
+        # One variant per process: each is its own multi-minute Mosaic
+        # compile, so budget them separately.
+        os.environ["L2N_TRI_ABLATE"] = arg
+        measure(arg, cfg, scene)
     else:
         measure("torus-field", cfg, scene)
 
