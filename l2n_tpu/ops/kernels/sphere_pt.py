@@ -458,6 +458,7 @@ def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
     clears on move)."""
     call = build_sphere_call(cfg, scene, sphere_unroll, cone_cull,
                              lights=lights)
+    tile_np = np.asarray(tile_array)  # host copy for the AOT cache key
     tile_array = jnp.asarray(tile_array)
     k = cfg.effective_tiles_per_step
     n = scene.count
@@ -495,7 +496,16 @@ def build_sphere_step(cfg, scene, tile_array, sphere_unroll: int | None = None,
                 0, steps_per_call, lambda _, st: single(st, camera, table),
                 state)
 
-    jit_step = jax.jit(kernel_step, donate_argnums=(0,) if donate else ())
+    # AOT executable cache (utils/aot_cache): a warm process skips the
+    # Python trace of the unrolled kernel, not just the XLA compile.
+    from l2n_tpu.utils.aot_cache import aot_jit
+    jit_step = aot_jit(
+        kernel_step, name="sphere_step",
+        key_parts=(cfg, [np.asarray(x) for x in (cx, cy, cz, r2)],
+                   tile_np, sphere_unroll, cone_cull,
+                   steps_per_call, k,
+                   None if lights is None else dict(vars(lights))),
+        donate_argnums=(0,) if donate else ())
     cache: dict[bytes, tuple] = {}
 
     def step(state: FrameState, camera) -> FrameState:

@@ -1405,6 +1405,7 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
     jitted, with per-camera precomputations (cone-cull table, front-to-back
     order) cached host-side like the sphere kernel's."""
     call, aux = build_triangle_call(cfg, scene, lights=lights)
+    tile_np = np.asarray(tile_array)  # host copy for the AOT cache key
     tile_array = jnp.asarray(tile_array)
     k = cfg.effective_tiles_per_step
 
@@ -1432,7 +1433,25 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
                 0, steps_per_call,
                 lambda _, st: single(st, camera, table, order), state)
 
-    jit_step = jax.jit(kernel_step, donate_argnums=(0,) if donate else ())
+    # AOT executable cache (utils/aot_cache): the fully-unrolled work-list
+    # walks cost ~250 s of pure Python TRACE on the 128-mesh scene; a warm
+    # process loads the serialized executable instead (5m24s -> 12.3 s
+    # measured, benchmarks/PROFILE.md "Round-4: cold start"). The key
+    # digests everything the trace bakes in: scene buffers, config, tile
+    # grid, the module-level env knobs, and lights.
+    from l2n_tpu.utils.aot_cache import aot_jit
+    jit_step = aot_jit(
+        kernel_step, name="triangle_step",
+        key_parts=(cfg,
+                   [np.asarray(x) for x in
+                    (scene.vertices, scene.normals, scene.tex_coords,
+                     scene.indices, scene.triangle_count,
+                     scene.index_offset)],
+                   tile_np, steps_per_call, k,
+                   (_SLAB, _SUBS, _BALLS, _DOUBLE_BUF, _PRIMARY_WALK,
+                    _os.environ.get("L2N_TRI_ABLATE", "")),
+                   None if lights is None else dict(vars(lights))),
+        donate_argnums=(0,) if donate else ())
     cache: dict[bytes, tuple] = {}
 
     def step(state: FrameState, camera) -> FrameState:

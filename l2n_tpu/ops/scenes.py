@@ -20,9 +20,10 @@ from l2n_tpu.scene.spheres import SphereScene
 
 
 def sphere_intersector(scene: SphereScene, unroll: int = 1) -> IntersectFn:
-    """Oracle-side sphere intersector over jnp scene arrays."""
-    cx, cy, cz, r2 = (scene.center_x, scene.center_y, scene.center_z,
-                      scene.sqr_radius)
+    """Oracle-side sphere intersector. Scene buffers are host numpy (see
+    SphereScene); lift once here so traced-index fetches work."""
+    cx, cy, cz, r2 = (jnp.asarray(scene.center_x), jnp.asarray(scene.center_y),
+                      jnp.asarray(scene.center_z), jnp.asarray(scene.sqr_radius))
     n = scene.count
 
     def fetch(i):
@@ -39,8 +40,8 @@ def sphere_intersector(scene: SphereScene, unroll: int = 1) -> IntersectFn:
 
 def sphere_anyhit(scene: SphereScene, unroll: int = 1):
     """Oracle-side boolean any-hit sweep (last-segment env test)."""
-    cx, cy, cz, r2 = (scene.center_x, scene.center_y, scene.center_z,
-                      scene.sqr_radius)
+    cx, cy, cz, r2 = (jnp.asarray(scene.center_x), jnp.asarray(scene.center_y),
+                      jnp.asarray(scene.center_z), jnp.asarray(scene.sqr_radius))
     n = scene.count
 
     def fetch(i):
@@ -66,6 +67,9 @@ def triangle_intersector(soup: dict[str, jnp.ndarray],
     `emis_r2` is the constant 1.0 the reference substitutes for meshes
     (triangle_pathtracing.cs.glsl:268).
     """
+    soup = {k: jnp.asarray(v) for k, v in soup.items()}  # host soup -> device
+    if bound_r2 is not None:
+        bound_r2 = jnp.asarray(bound_r2)
     total = soup["v1x"].shape[0]
 
     def fetch(i):

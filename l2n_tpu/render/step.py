@@ -146,8 +146,12 @@ def make_intersector(cfg: RenderConfig, scene):
         light_sampler = None
         if cfg.nee:
             from l2n_tpu.ops.nee import make_sphere_light_sampler
-            cx, cy, cz, r2 = (scene.center_x, scene.center_y,
-                              scene.center_z, scene.sqr_radius)
+            # Scene buffers are host numpy; lift once — the sampler fetches
+            # with a traced light index.
+            cx, cy, cz, r2 = (jnp.asarray(scene.center_x),
+                              jnp.asarray(scene.center_y),
+                              jnp.asarray(scene.center_z),
+                              jnp.asarray(scene.sqr_radius))
             light_sampler = make_sphere_light_sampler(
                 scene.count, cfg.emissive_every,
                 lambda i: (cx[i], cy[i], cz[i], r2[i]))
@@ -196,10 +200,15 @@ def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
             "explicit lights + wavefront is unsupported (the wavefront "
             "split is a documented negative result; its pass split does "
             "not thread the light term) — use the single-pass kernels")
-    tile_array = jnp.asarray(tile_grid(cfg))
-    intersect, miss_color, light_sampler, anyhit = make_intersector(cfg, scene)
+    # Host numpy: the pallas builders lift it themselves and hash it into
+    # their AOT cache key; the xla closure bakes it in as a constant.
+    tile_array = tile_grid(cfg)
 
     if backend == "xla":
+        intersect, miss_color, light_sampler, anyhit = make_intersector(
+            cfg, scene)
+        # Lift: the schedule is gathered with a traced offset.
+        tile_array = jnp.asarray(tile_array)
         fn = partial(_xla_step, cfg, intersect, miss_color, tile_array,
                      light_sampler=light_sampler, intersect_anyhit=anyhit,
                      lights=lights)
@@ -210,7 +219,14 @@ def build_render_step(cfg: RenderConfig, scene, backend: str = "xla",
         return jax.jit(fn, donate_argnums=(0,) if donate else ())
     if backend == "pallas":
         # Pallas builders return already-jitted steps (they keep per-camera
-        # precomputations outside the jit and cache them host-side).
+        # precomputations outside the jit and cache them host-side). The
+        # oracle closures (make_intersector) are NOT built on this path —
+        # their soup gathers / NEE bound packs are pure build-time waste
+        # for the kernel tier. Keep its scene-type contract, though:
+        expected = SphereScene if cfg.scene_kind == "sphere" else TriangleScene
+        if not isinstance(scene, expected):
+            raise TypeError(f"{cfg.scene_kind} config needs a "
+                            f"{expected.__name__}")
         from l2n_tpu.ops.kernels import build_pallas_step
         return build_pallas_step(cfg, scene, tile_array, donate=donate,
                                  steps_per_call=steps_per_call,

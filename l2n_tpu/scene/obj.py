@@ -114,11 +114,13 @@ def load_obj(source: str | Path) -> TriangleScene:
             for corner in (a, b, c):
                 indices.append(corner_index(corner, fn.astype(np.float32)))
 
+    # HOST numpy buffers (see SphereScene): the kernel packers digest the
+    # scene on the host; traced consumers lift once.
     return TriangleScene(
-        vertices=jnp.asarray(np.stack(out_pos)),
-        normals=jnp.asarray(np.stack(out_nrm)),
-        tex_coords=jnp.asarray(np.stack(out_tex)),
-        indices=jnp.asarray(np.asarray(indices, np.int32)),
-        triangle_count=jnp.asarray(np.asarray(counts, np.int32)),
-        index_offset=jnp.asarray(np.asarray(offsets, np.int32)),
+        vertices=np.stack(out_pos).astype(np.float32),
+        normals=np.stack(out_nrm).astype(np.float32),
+        tex_coords=np.stack(out_tex).astype(np.float32),
+        indices=np.asarray(indices, np.int32),
+        triangle_count=np.asarray(counts, np.int32),
+        index_offset=np.asarray(offsets, np.int32),
     )

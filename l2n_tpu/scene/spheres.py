@@ -29,6 +29,13 @@ class SphereScene:
 
     `sqr_radius` (not radius) is stored, matching the reference's
     precomputation (`Sphere::sqrRadius`, src/main.cpp:180,185).
+
+    Constructors store HOST numpy arrays: scene packing and digesting are
+    host-side work, and on a tunnel-attached chip every device->host pull
+    costs a ~2.5 s RTT (the host-side packers made 52 of them before this
+    change — 5+ min of pure RTT in TriangleProgram construction). Traced
+    consumers lift to the device once (jnp.asarray at closure build /
+    trace time); jnp-leaved instances (tests build them) work too.
     """
 
     center_x: jnp.ndarray
@@ -84,8 +91,8 @@ def compute_spheres(
     centers = (-0.5 * world_size + world_size * u[:, :3]).astype(np.float32)
     radii = (0.05 * world_size * u[:, 3]).astype(np.float32)
     return SphereScene(
-        center_x=jnp.asarray(centers[:, 0]),
-        center_y=jnp.asarray(centers[:, 1]),
-        center_z=jnp.asarray(centers[:, 2]),
-        sqr_radius=jnp.asarray(radii * radii),
+        center_x=np.ascontiguousarray(centers[:, 0]),
+        center_y=np.ascontiguousarray(centers[:, 1]),
+        center_z=np.ascontiguousarray(centers[:, 2]),
+        sqr_radius=np.ascontiguousarray(radii * radii),
     )

@@ -109,10 +109,10 @@ class TriangleScene:
         e1, e2 = v2 - v1, v3 - v1
         na, nb, nc = (self.normals[tri[:, k]] for k in range(3))
         ta, tb, tc = (self.tex_coords[tri[:, k]] for k in range(3))
-        # Per-triangle mesh id from per-mesh spans.
+        # Per-triangle mesh id from per-mesh spans (host-side; consumers
+        # lift the whole soup to the device in one place).
         counts = np.asarray(self.triangle_count)
-        mesh_id = jnp.asarray(
-            np.repeat(np.arange(counts.shape[0], dtype=np.int32), counts))
+        mesh_id = np.repeat(np.arange(counts.shape[0], dtype=np.int32), counts)
         out = {"mesh_id": mesh_id}
         for name, arr in (("v1", v1), ("e1", e1), ("e2", e2),
                           ("na", na), ("nb", nb), ("nc", nc)):
@@ -147,12 +147,13 @@ def build_triangle_scene(
         tex[m * v_count:(m + 1) * v_count] = t
         indices[m * i_count:(m + 1) * i_count] = idx + m * v_count
 
+    # HOST numpy buffers (see SphereScene): packing/digesting stays on the
+    # host; traced consumers lift once.
     return TriangleScene(
-        vertices=jnp.asarray(positions),
-        normals=jnp.asarray(normals),
-        tex_coords=jnp.asarray(tex),
-        indices=jnp.asarray(indices),
-        triangle_count=jnp.full((n,), i_count // 3, jnp.int32),
-        index_offset=jnp.asarray(
-            np.arange(n, dtype=np.int32) * np.int32(i_count)),
+        vertices=positions,
+        normals=normals,
+        tex_coords=tex,
+        indices=indices,
+        triangle_count=np.full((n,), i_count // 3, np.int32),
+        index_offset=np.arange(n, dtype=np.int32) * np.int32(i_count),
     )
