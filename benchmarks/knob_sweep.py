@@ -107,11 +107,13 @@ TORUS_VARIANTS = {
 }
 
 TESS_VARIANTS = {
+    # NB: at 1024x1024 with 32x128 tiles the grid has 256 tiles, so any
+    # tiles_per_step >= 256 is the same whole-frame schedule
+    # (effective_tiles_per_step caps at tile_count) — there is exactly ONE
+    # spp1 whole-frame variant, not a t1024-vs-t256 pair.
     "tess0": ("tess 32x128 spp4 t256 (ship)", {}),
-    "tess1": ("tess 32x128 spp1 t1024",
+    "tess1": ("tess 32x128 spp1 whole-frame",
               dict(spp_per_step=1, tiles_per_step=1024)),
-    "tess2": ("tess 32x128 spp1 t256",
-              dict(spp_per_step=1, tiles_per_step=256)),
 }
 
 which = sys.argv[1] if len(sys.argv) > 1 else "all"

@@ -200,7 +200,55 @@ def _solid_angle_inside(p: np.ndarray, a: np.ndarray, b: np.ndarray,
     return np.abs(np.abs(total) - 4.0 * np.pi) < 1e-2
 
 
-def _mesh_watertight(verts: np.ndarray, tris: np.ndarray) -> bool:
+def _canonical_vertex_ids(verts: np.ndarray) -> np.ndarray:
+    """Vertex ids canonicalized by position (merging the seam/pole
+    duplicates tessellators and OBJ exporters emit). Compute ONCE per
+    scene and pass to every per-mesh `_mesh_watertight` call.
+
+    Exact byte identity is not enough: the tessellation's longitude seam
+    computes the same logical vertex through phi=0 and phi=2pi trig
+    paths, which differ in the last ulp (measured: 12/16 tessellated
+    spheres pass bytewise, all 16 with tolerance). Duplicates are merged
+    by connected components over pairs closer than eps = 1e-6 x scene
+    extent — orders of magnitude above float noise, orders below any
+    real vertex spacing. A crack narrower than eps merges closed (it
+    could leak only an eps-wide sliver of rays); a genuinely missing
+    face still FAILS the manifold check, since no vertex merge pairs
+    its boundary edges (the advisor's imported-OBJ threat model)."""
+    pts = np.ascontiguousarray(np.asarray(verts, np.float32))
+    n = len(pts)
+    if n == 0:
+        return np.zeros((0,), np.int64)
+    extent = float(pts.max(0).__sub__(pts.min(0)).max()) or 1.0
+    try:  # scipy ships with jax here, but gate it: exact-byte merging is
+        # a sound (conservative) fallback — ulp seams then fail watertight
+        # and certain-hit data is simply not built for those meshes.
+        from scipy.spatial import cKDTree
+    except ImportError:
+        _, canon = np.unique(pts.view([("", np.float32)] * 3).reshape(-1),
+                             return_inverse=True)
+        return canon
+    pairs = cKDTree(pts).query_pairs(1e-6 * extent, output_type="ndarray")
+    parent = np.arange(n)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for i, j in pairs:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    canon = np.fromiter((find(i) for i in range(n)), np.int64, n)
+    return canon
+
+
+def _mesh_watertight(verts: np.ndarray, tris: np.ndarray,
+                     canon: np.ndarray | None = None) -> bool:
     """Combinatorial watertightness on the INDEXED topology: every
     undirected edge of the live faces shared by exactly two faces
     (2-manifold without boundary). The solid-angle certification alone
@@ -212,16 +260,16 @@ def _mesh_watertight(verts: np.ndarray, tris: np.ndarray) -> bool:
     Operates on the scene's ORIGINAL vertex buffer + face indices (NOT
     the soup's v1+e1 reconstructions, whose float32 edge rounding breaks
     bit-identity of shared corners). Vertex ids are first canonicalized
-    by exact position bytes, merging the bit-identical seam/pole
-    duplicates tessellators and OBJ exporters emit; a mesh whose seam
-    duplicates differ in the last ulp conservatively fails — balls are
-    an optimization, never required for the walk's correctness. Faces
+    by position with an eps tolerance (`_canonical_vertex_ids`), merging
+    the seam/pole duplicates tessellators and OBJ exporters emit — incl.
+    seams whose two trig paths differ in the last ulp. A mesh that still
+    fails is conservatively treated as open — certain-hit data is an
+    optimization, never required for the walk's correctness. Faces
     with two corners on the SAME canonical point (the tessellation's
     pole slivers) are dropped before counting: the surviving face of
     each collapsed quad carries the shared edges."""
-    pts = np.ascontiguousarray(np.asarray(verts, np.float32))
-    _, canon = np.unique(pts.view([("", np.float32)] * 3).reshape(-1),
-                         return_inverse=True)
+    if canon is None:
+        canon = _canonical_vertex_ids(verts)
     a, b, c = canon[tris[:, 0]], canon[tris[:, 1]], canon[tris[:, 2]]
     live = (a != b) & (b != c) & (a != c)
     a, b, c = a[live], b[live], c[live]
@@ -397,11 +445,27 @@ def pack_mesh_blocks(
     # (radius r_in = min plane distance) must hit a triangle — no sweep
     # needed for such rays. inner_gap = r_out^2 - r_in^2 (so in-kernel
     # c_inner = c_outer + inner_gap); +BIG disables the shortcut for open /
-    # degenerate meshes.
+    # degenerate meshes. Like the interior balls below, the shortcut is
+    # gated on COMBINATORIAL watertightness (ADVICE r3): the solid-angle
+    # test alone accepts a mesh with a < 1e-2 sr crack, through which an
+    # inscribed-sphere-certified hit would be unsound (false shadows /
+    # missed hits for rays escaping the hole).
+    scene_verts = np.asarray(scene.vertices)
+    scene_tris = np.asarray(scene.indices).reshape(-1, 3)
+    tri_offsets = np.asarray(scene.index_offset) // 3
+    tri_counts = np.asarray(scene.triangle_count)
+    canon_ids = _canonical_vertex_ids(scene_verts)
+    watertight = np.zeros((m_count,), bool)
+    for m in range(m_count):
+        tris_m = scene_tris[tri_offsets[m]:tri_offsets[m] + tri_counts[m]]
+        if len(tris_m):
+            watertight[m] = _mesh_watertight(scene_verts, tris_m,
+                                             canon=canon_ids)
+
     inner_gap = np.full((m_count,), 3.0e30, np.float32)
     for m in range(m_count):
         sel = mesh_id == m
-        if not sel.any():
+        if not sel.any() or not watertight[m]:
             continue
         c = bounds[m, :3]
         a = np.stack([soup[f"v1{ax}"][sel] for ax in "xyz"], 1) - c
@@ -444,10 +508,6 @@ def pack_mesh_blocks(
     # pay zero extra unrolled kernel work (dead balls are dropped at trace
     # time, build_triangle_call).
     balls = np.full((m_count, _BALLS, 4), -1.0, np.float32)
-    scene_verts = np.asarray(scene.vertices)
-    scene_tris = np.asarray(scene.indices).reshape(-1, 3)
-    tri_offsets = np.asarray(scene.index_offset) // 3
-    tri_counts = np.asarray(scene.triangle_count)
     for m in range(m_count):
         if inner_gap[m] < 2e30 and \
                 bounds[m, 3] - inner_gap[m] >= 0.25 * bounds[m, 3]:
@@ -455,8 +515,7 @@ def pack_mesh_blocks(
         sel = np.flatnonzero(mesh_id == m)
         if len(sel) == 0:
             continue
-        tris_m = scene_tris[tri_offsets[m]:tri_offsets[m] + tri_counts[m]]
-        if not _mesh_watertight(scene_verts, tris_m):
+        if not watertight[m]:
             continue  # balls unsound through cracks; walk stays exact
         v1 = np.stack([soup[f"v1{a}"][sel] for a in "xyz"], 1).astype(
             np.float64)

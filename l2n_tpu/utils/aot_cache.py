@@ -56,8 +56,8 @@ def source_digest() -> str:
     if _SRC_DIGEST is None:
         pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         h = hashlib.sha256()
-        for root, dirs, files in sorted(os.walk(pkg)):
-            dirs.sort()
+        for root, dirs, files in os.walk(pkg):
+            dirs.sort()  # steers os.walk: deterministic traversal order
             for f in sorted(files):
                 if f.endswith(".py"):
                     path = os.path.join(root, f)
@@ -181,15 +181,27 @@ def aot_jit(fn, *, name: str, key_parts=(), donate_argnums=(),
                 # A deserialized executable can still fail at EXECUTION
                 # time (device-topology mismatch the load did not reject,
                 # e.g. a 1-chip entry under a forced multi-device client).
-                # The input handler fails before any donation happens, so
-                # degrading to plain jit here is safe.
+                # Sync before pinning it so asynchronously-surfacing
+                # failures are caught HERE (one extra RTT, once per
+                # process) instead of at an arbitrary later step with the
+                # bad executable already cached. The common failure (the
+                # input handler's rejection) raises before any donation;
+                # if a post-donation failure already deleted the donated
+                # inputs, the plain-jit retry below cannot run either —
+                # re-raise the original error rather than masking it with
+                # an 'Array has been deleted' message.
                 try:
                     out = compiled(*args)
+                    import jax as _jax
+                    _jax.block_until_ready(out)
                 except Exception as e:
                     _log(f"loaded {name} executable failed to run "
                          f"({type(e).__name__}: {e}); plain jit")
                     state["compiled"] = jitted
-                    return jitted(*args)
+                    try:
+                        return jitted(*args)
+                    except Exception:
+                        raise e
                 state["compiled"] = compiled
                 return out
             state["compiled"] = compiled

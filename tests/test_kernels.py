@@ -269,6 +269,67 @@ class TestTriangleKernel:
         assert not (balls[0, :, 3] > 0).any()
         assert (balls[1, :, 3] > 0).any()
 
+    def test_watertightness_gates_inner_sphere_too(self):
+        """Round-4 review: the inscribed-sphere certain-hit shortcut is
+        certified by the same solid-angle test as the balls, so it needs
+        the same combinatorial gate — a cracked mesh must disable BOTH
+        (inner_gap stays +BIG), or any-hit rays escaping through the
+        crack get certified as occluded."""
+        import dataclasses as dc
+        from l2n_tpu.ops.kernels.triangle_pt import pack_mesh_blocks
+        from l2n_tpu.scene import build_triangle_scene, compute_spheres
+        scene = build_triangle_scene(compute_spheres(2, 512.0, 0), 16, 8)
+        gap = np.asarray(pack_mesh_blocks(scene)[5])
+        assert (gap < 2e30).all()  # closed tessellated spheres: enabled
+        offs = np.asarray(scene.index_offset) // 3
+        cnts = np.asarray(scene.triangle_count)
+        # Remove an EQUATORIAL face of mesh 0 (the last faces are the
+        # tessellation's degenerate pole slivers, whose removal does not
+        # open the surface — the manifold check drops them anyway).
+        k = int(offs[0] + cnts[0] // 2)
+        idx = np.asarray(scene.indices)
+        cracked = dc.replace(
+            scene,
+            indices=jnp.asarray(np.concatenate([idx[:k * 3],
+                                                idx[(k + 1) * 3:]])),
+            triangle_count=jnp.asarray(
+                np.array([cnts[0] - 1, cnts[1]], np.int32)),
+            index_offset=jnp.asarray(
+                np.array([offs[0] * 3, (offs[0] + cnts[0] - 1) * 3],
+                         np.int32)))
+        gap_c = np.asarray(pack_mesh_blocks(cracked)[5])
+        assert gap_c[0] > 2e30  # crack: shortcut off (solid angle ~4pi!)
+        assert gap_c[1] < 2e30  # intact neighbor keeps its shortcut
+
+    def test_canonicalization_merges_ulp_seams(self):
+        """The tessellation's longitude seam reaches the same vertex via
+        phi=0 and phi=2pi trig paths that differ in the last ulp; the
+        eps-tolerance canonicalization must merge them (bytewise identity
+        measured only 12/16 tessellated spheres watertight)."""
+        from l2n_tpu.ops.kernels.triangle_pt import (
+            _canonical_vertex_ids,
+            _mesh_watertight,
+        )
+        from l2n_tpu.scene import build_triangle_scene, compute_spheres
+        scene = build_triangle_scene(compute_spheres(16, 512.0, 0), 16, 8)
+        verts = np.asarray(scene.vertices)
+        tris = np.asarray(scene.indices).reshape(-1, 3)
+        offs = np.asarray(scene.index_offset) // 3
+        cnts = np.asarray(scene.triangle_count)
+        canon = _canonical_vertex_ids(verts)
+        assert all(
+            _mesh_watertight(verts, tris[offs[m]:offs[m] + cnts[m]],
+                             canon=canon)
+            for m in range(scene.mesh_count))
+        # The canonicalization must merge MORE than bytewise identity
+        # (the scene's seams contain bitwise-distinct duplicates) while
+        # keeping genuinely distinct vertices apart.
+        v = np.ascontiguousarray(verts.reshape(-1, 3), np.float32)
+        n_byte = len(np.unique(v.view([("", np.float32)] * 3).reshape(-1)))
+        n_canon = len(np.unique(canon))
+        assert n_canon < n_byte  # ulp seam twins merged
+        assert n_canon > len(v) // 4  # real spacing stays distinct
+
     def _obj_multislab_parity(self, **cfg_kw):
         """Arbitrary imported geometry (tori: no sphere-exact normals, no
         shellwalk, >128 triangles per mesh => MULTI-slab work lists) through
