@@ -117,6 +117,12 @@ TESS_VARIANTS = {
 }
 
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
+if which == "fastmath":
+    # The round-4 fast-math candidate (cfg.fast_math: rsqrt-form root +
+    # normal in the sphere sweeps) against the exact baseline, same
+    # process so the comparison shares tunnel conditions.
+    sphere_variant("sphere exact (baseline)")
+    sphere_variant("sphere fast_math", fast_math=True)
 if which in TESS_VARIANTS:
     name, kw = TESS_VARIANTS[which]
     tess_variant(name, **kw)

@@ -185,6 +185,20 @@ class RenderConfig:
     # env-dominated configs without wide sweeps. Clamped down to a divisor
     # of spp_per_step; stateful RNG modes ignore it (streams must chain).
     spp_stack: int = 1
+    # Fast-math sphere sweeps: compute sqrt(disc) as disc * rsqrt(disc) and
+    # surface-normal normalization via rsqrt in the per-candidate sphere
+    # intersection (ops/intersect.py, the reference's intersectSphere root
+    # math, sphere_pathtracing.cs.glsl:145-163). Values differ from the
+    # exact form only in final-ulp rounding, which can flip measure-zero
+    # discrete events (which sphere wins a near-tie, RR survival at a
+    # threshold, an exact-tangent disc == 0 hit becomes a miss) — the SAME
+    # statistical parity class as compiled-vs-interpreted float drift; the
+    # estimator stays unbiased and the 1024x1024 RMSE-vs-oracle gate
+    # (benchmarks/accuracy_northstar.py) still passes. Threaded identically
+    # through the oracle AND the kernels, so oracle/kernel parity tests hold
+    # with the flag either way. Off by default: the exact form is the
+    # reference-parity class used by all golden tests.
+    fast_math: bool = False
 
     # Debug / AOV ------------------------------------------------------------
     # "pathtracing" | "normal" | "ambient_occlusion" | "hit" | "tex_coords"

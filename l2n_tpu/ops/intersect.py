@@ -28,9 +28,21 @@ Fetch = Callable[[jnp.ndarray], tuple]
 MOLLER_TRUMBORE_EPS = 1e-6  # EPSILON, triangle_pathtracing.cs.glsl:10
 
 
+def fast_sqrt(x):
+    """sqrt(x) as x * rsqrt(x) — the fast-math form (cfg.fast_math).
+
+    Final-ulp differences from `jnp.sqrt` only; x == 0 yields NaN (0 * inf)
+    where sqrt gives 0, which in the sweeps below poisons an exact-tangent
+    candidate to a miss — a measure-zero event of the statistical parity
+    class. x < 0 is NaN either way (the sweeps' discriminant poison).
+    """
+    return x * jax.lax.rsqrt(x)
+
+
 def intersect_sphere_scene(
     ox, oy, oz, dx, dy, dz, sphere_count, fetch: Fetch,
     unroll: int = 1, index_map=None, assume_outside: bool = False,
+    fast_math: bool = False,
 ):
     """Nearest hit against `sphere_count` spheres.
 
@@ -77,7 +89,7 @@ def intersect_sphere_scene(
         disc = hb * hb - c
         # disc < 0 makes sq NaN; NaN compares false everywhere below, so the
         # candidate poisons itself to +BIG — no explicit disc test needed.
-        sq = jnp.sqrt(disc)
+        sq = fast_sqrt(disc) if fast_math else jnp.sqrt(disc)
         nhb = -hb
         t1 = nhb - sq
         if assume_outside:
@@ -108,7 +120,8 @@ def intersect_sphere_scene(
     py = oy + best_t * dy
     pz = oz + best_t * dz
     nx, ny, nz = px - bcx, py - bcy, pz - bcz
-    rcp = f32(1.0) / jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    nn = nx * nx + ny * ny + nz * nz
+    rcp = jax.lax.rsqrt(nn) if fast_math else f32(1.0) / jnp.sqrt(nn)
     # Avoid inf/nan normals on miss lanes (rcp of 0-length vector).
     rcp = jnp.where(hit, rcp, f32(0.0))
     return best_t, px, py, pz, nx * rcp, ny * rcp, nz * rcp, best_i, best_r2

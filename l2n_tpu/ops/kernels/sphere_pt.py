@@ -34,7 +34,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from l2n_tpu.camera.camera import ROW_POSITION, ROW_PROJ
-from l2n_tpu.ops.intersect import intersect_sphere_scene, sphere_scene_anyhit
+from l2n_tpu.ops.intersect import (
+    fast_sqrt,
+    intersect_sphere_scene,
+    sphere_scene_anyhit,
+)
 from l2n_tpu.ops.kernels import register_kernel
 from l2n_tpu.ops.kernels.common import (
     accumulate_and_tonemap,
@@ -129,7 +133,8 @@ def full_visibility_table(cfg, scene, camera, row_offset=0) -> jnp.ndarray:
 _CULL_CHUNK = 16
 
 
-def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz):
+def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz,
+                  fast_math=False):
     """Primary sweep over the tile's compacted visible-sphere list.
 
     A dynamic-trip-count loop over ceil(n_vis / _CULL_CHUNK) statically
@@ -152,7 +157,8 @@ def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz):
         rox, roy, roz = ox - cx, oy - cy, oz - cz  # scalar for primary rays
         hb = rox * dx + roy * dy + roz * dz
         c = rox * rox + roy * roy + roz * roz - r2
-        sq = jnp.sqrt(hb * hb - c)  # NaN when disc < 0 -> poisons below
+        disc = hb * hb - c  # NaN sq when disc < 0 -> poisons below
+        sq = fast_sqrt(disc) if fast_math else jnp.sqrt(disc)
         nhb = -hb
         t1 = nhb - sq
         t2 = nhb + sq
@@ -196,7 +202,10 @@ def _culled_sweep(n_spheres, fetch, vis_row, n_vis, ox, oy, oz, dx, dy, dz):
     py = oy + best_t * dy
     pz = oz + best_t * dz
     nx, ny, nz = px - bcx, py - bcy, pz - bcz
-    rcp = jnp.where(hit, f32(1.0) / jnp.sqrt(nx * nx + ny * ny + nz * nz),
+    nn = nx * nx + ny * ny + nz * nz
+    rcp = jnp.where(hit,
+                    jax.lax.rsqrt(nn) if fast_math
+                    else f32(1.0) / jnp.sqrt(nn),
                     f32(0.0))
     return Hit(t=best_t, px=px, py=py, pz=pz, nx=nx * rcp, ny=ny * rcp,
                nz=nz * rcp, index=best_i, emis_r2=br2)
@@ -234,7 +243,7 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, lights,
     def _nearest(ox, oy, oz, dx, dy, dz, assume_outside) -> Hit:
         t, px, py, pz, nx, ny, nz, idx, br2 = intersect_sphere_scene(
             ox, oy, oz, dx, dy, dz, n_spheres, fetch, unroll=sphere_unroll,
-            assume_outside=assume_outside)
+            assume_outside=assume_outside, fast_math=cfg.fast_math)
         return Hit(t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
                    index=idx, emis_r2=br2)
 
@@ -282,7 +291,8 @@ def _kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, lights,
         def intersect_primary(ox, oy, oz, dx, dy, dz) -> Hit:
             return _culled_sweep(n_spheres, fetch,
                                  lambda k: vis_ref[tid, 1 + k], n_vis,
-                                 ox, oy, oz, dx, dy, dz)
+                                 ox, oy, oz, dx, dy, dz,
+                                 fast_math=cfg.fast_math)
     else:
         # The camera is not covered by the disjointness argument (it can
         # sit inside a sphere, where the reference returns the t2 exit

@@ -89,7 +89,7 @@ def _scene_closures(cfg, n_spheres, sphere_unroll, fetch,
     def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
         t, px, py, pz, nx, ny, nz, idx, br2 = intersect_sphere_scene(
             ox, oy, oz, dx, dy, dz, n_spheres, fetch, unroll=sphere_unroll,
-            assume_outside=outside_ok)
+            assume_outside=outside_ok, fast_math=cfg.fast_math)
         return Hit(t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
                    index=idx, emis_r2=br2)
 
@@ -144,7 +144,8 @@ def _pass_a_kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, *refs):
         def intersect_primary(ox, oy, oz, dx, dy, dz) -> Hit:
             return _culled_sweep(n_spheres, fetch,
                                  lambda k: vis_ref[tid, 1 + k], n_vis,
-                                 ox, oy, oz, dx, dy, dz)
+                                 ox, oy, oz, dx, dy, dz,
+                                 fast_math=cfg.fast_math)
     else:
         # The camera is not covered by the disjointness argument (it can sit
         # inside a sphere, where the reference returns the t2 exit root) —
@@ -153,7 +154,8 @@ def _pass_a_kernel(cfg, n_spheres, sphere_unroll, cone_cull, outside_ok, *refs):
         def intersect_primary(ox, oy, oz, dx, dy, dz) -> Hit:
             t, px, py, pz, nx, ny, nz, idx, br2 = intersect_sphere_scene(
                 ox, oy, oz, dx, dy, dz, n_spheres, fetch,
-                unroll=sphere_unroll, assume_outside=False)
+                unroll=sphere_unroll, assume_outside=False,
+                fast_math=cfg.fast_math)
             return Hit(t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
                        index=idx, emis_r2=br2)
 

@@ -19,7 +19,8 @@ from l2n_tpu.ops.pathtrace import Hit, IntersectFn
 from l2n_tpu.scene.spheres import SphereScene
 
 
-def sphere_intersector(scene: SphereScene, unroll: int = 1) -> IntersectFn:
+def sphere_intersector(scene: SphereScene, unroll: int = 1,
+                       fast_math: bool = False) -> IntersectFn:
     """Oracle-side sphere intersector. Scene buffers are host numpy (see
     SphereScene); lift once here so traced-index fetches work."""
     cx, cy, cz, r2 = (jnp.asarray(scene.center_x), jnp.asarray(scene.center_y),
@@ -31,7 +32,8 @@ def sphere_intersector(scene: SphereScene, unroll: int = 1) -> IntersectFn:
 
     def intersect(ox, oy, oz, dx, dy, dz) -> Hit:
         t, px, py, pz, nx, ny, nz, idx, br2 = intersect_sphere_scene(
-            ox, oy, oz, dx, dy, dz, n, fetch, unroll=unroll)
+            ox, oy, oz, dx, dy, dz, n, fetch, unroll=unroll,
+            fast_math=fast_math)
         return Hit(t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
                    index=idx, emis_r2=br2)
 

@@ -156,8 +156,8 @@ def make_intersector(cfg: RenderConfig, scene):
                 scene.count, cfg.emissive_every,
                 lambda i: (cx[i], cy[i], cz[i], r2[i]))
         # sphere normal AOV misses to black (glsl:350)
-        return (sphere_intersector(scene), (0.0, 0.0, 0.0), light_sampler,
-                sphere_anyhit(scene))
+        return (sphere_intersector(scene, fast_math=cfg.fast_math),
+                (0.0, 0.0, 0.0), light_sampler, sphere_anyhit(scene))
     if not isinstance(scene, TriangleScene):
         raise TypeError("triangle config needs a TriangleScene")
     light_sampler = None

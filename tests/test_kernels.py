@@ -562,6 +562,55 @@ class TestSppStack:
                                       np.asarray(got.accum))
 
 
+class TestFastMath:
+    """cfg.fast_math swaps the sphere sweeps' sqrt(disc) for
+    disc * rsqrt(disc) and the normal's 1/sqrt for rsqrt (ops/intersect.py
+    fast_sqrt) — final-ulp drift of the statistical parity class, threaded
+    identically through the oracle and the kernels."""
+
+    # 128 spheres so the default camera actually sees geometry — a
+    # near-black frame would gate nothing (round-3 lesson).
+    FM_CFG = CFG.replace(sphere_count=128)
+
+    def test_fast_sqrt_values(self):
+        from l2n_tpu.ops.intersect import fast_sqrt
+        x = jnp.asarray([1e-8, 0.5, 1.0, 2.0, 1e6, 3e30], jnp.float32)
+        np.testing.assert_allclose(np.asarray(fast_sqrt(x)),
+                                   np.sqrt(np.asarray(x)), rtol=3e-7)
+        # Negative AND exact-zero inputs poison to NaN (sqrt gives 0 at 0;
+        # the sweeps treat NaN as a self-poisoned candidate either way).
+        bad = np.asarray(fast_sqrt(jnp.asarray([-1.0, 0.0], jnp.float32)))
+        assert np.isnan(bad).all()
+
+    def test_fast_kernel_matches_fast_oracle(self):
+        """Oracle/kernel parity must hold WITH the flag on: both sides go
+        through the same intersect_sphere_scene(fast_math=True)."""
+        cfg = self.FM_CFG.replace(fast_math=True)
+        so = run_steps("xla", cfg)
+        sp = run_steps("pallas", cfg)
+        assert (np.asarray(so.accum)[:3].max(0) > 0).mean() > 0.02
+        np.testing.assert_array_equal(np.asarray(so.accum[3]),
+                                      np.asarray(sp.accum[3]))
+        a, b = np.asarray(so.accum), np.asarray(sp.accum)
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-3
+        diff = np.abs(np.asarray(so.output) - np.asarray(sp.output))
+        assert (diff > 1e-3).mean() < 1e-3
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_fast_close_to_exact(self, backend):
+        """Fast vs exact on the SAME backend: identical schedules and RNG
+        draws, so the only differences are final-ulp root/normal drift and
+        the measure-zero discrete flips it can cause."""
+        exact = run_steps(backend, self.FM_CFG, n=2)
+        fast = run_steps(backend, self.FM_CFG.replace(fast_math=True), n=2)
+        np.testing.assert_array_equal(np.asarray(exact.accum[3]),
+                                      np.asarray(fast.accum[3]))
+        a, b = np.asarray(exact.accum), np.asarray(fast.accum)
+        assert np.sqrt(((a - b) ** 2).mean()) < 1e-3
+        diff = np.abs(np.asarray(exact.output) - np.asarray(fast.output))
+        assert (diff > 1e-3).mean() < 1e-3
+
+
 class TestStepsPerCall:
     """steps_per_call=N fuses N scheduler steps into one dispatch via
     lax.fori_loop — the image must equal N single-step calls exactly."""
