@@ -57,9 +57,18 @@ def _headline_cfg(on_tpu: bool):
         # Whole-frame steps (tiles_per_step = all 1024 tiles — the
         # reference's GUI-tunable knob, src/main.cpp:974): measured ~3%
         # faster than 256-tile steps (fewer per-step schedule gathers).
+        # fast_math=True: rsqrt-form roots/normalizes in the sweeps and
+        # bounce chain (config.py's fast_math doc). Final-ulp-only drift;
+        # the 1024x1024 kernel-vs-oracle accuracy gate passes WITH
+        # fast_math at 1.5e-5 per-sample RMSE vs the 1e-3 north star
+        # (benchmarks/accuracy_northstar.py --fast, 2026-08-20), and the
+        # reference's own GLSL sqrt/normalize/inversesqrt carry no IEEE
+        # guarantee on GPU either. Measured 2026-08-20: 4.983 ms/step =
+        # 1,027.9 Mrays/s vs 5.41 ms exact (PROFILE.md "fast-math roots").
         return RenderConfig(width=1024, height=1024, tile_height=32,
                             tile_width=128, tiles_per_step=1024,
-                            spp_per_step=4, rng="tpu_hw").validate()
+                            spp_per_step=4, rng="tpu_hw",
+                            fast_math=True).validate()
     return RenderConfig(width=256, height=256, tile_height=32,
                         tile_width=128, tiles_per_step=16).validate()
 

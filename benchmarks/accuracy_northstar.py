@@ -15,8 +15,13 @@ then compare per-sample radiance estimates (accum / count). With the
 streams pinned, the residual is pure compiled-float reassociation — the
 quantity the north star bounds.
 
-Usage:  python benchmarks/accuracy_northstar.py [steps]
+Usage:  python benchmarks/accuracy_northstar.py [steps] [--fast]
 Output: one JSON line with per-sample and accumulation-domain stats.
+
+--fast: build the KERNEL with cfg.fast_math=True (the rsqrt-form sweeps,
+the production headline config) while the oracle keeps the exact sqrt —
+so the reported RMSE bounds the production kernel's TOTAL deviation from
+the exact GLSL-equivalent semantics, fast-math drift included.
 """
 
 from __future__ import annotations
@@ -41,7 +46,10 @@ from l2n_tpu.scene import compute_spheres  # noqa: E402
 
 
 def main() -> None:
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    args = sys.argv[1:]
+    fast = "--fast" in args
+    args = [a for a in args if a != "--fast"]
+    steps = int(args[0]) if args else 1
     cfg = RenderConfig(width=1024, height=1024, tile_height=32,
                        tile_width=128, tiles_per_step=1024,
                        spp_per_step=4, rng="threefry").validate()
@@ -55,7 +63,8 @@ def main() -> None:
           f"spp/step={cfg.spp_per_step} steps={steps}", file=sys.stderr)
 
     t0 = time.monotonic()
-    kernel_step = build_render_step(cfg, scene, backend="pallas",
+    kernel_cfg = cfg.replace(fast_math=True) if fast else cfg
+    kernel_step = build_render_step(kernel_cfg, scene, backend="pallas",
                                     donate=False)
     st_k = init_frame_state(cfg)
     for _ in range(steps):
@@ -107,6 +116,7 @@ def main() -> None:
         "north_star": 1e-3,
         "pass_excluding_flips": rmse_cont < 1e-3,
         "pass": rmse < 1e-3,
+        "kernel_fast_math": fast,
         "device": str(dev),
     }
     print(json.dumps(stats), flush=True)

@@ -185,10 +185,12 @@ class RenderConfig:
     # env-dominated configs without wide sweeps. Clamped down to a divisor
     # of spp_per_step; stateful RNG modes ignore it (streams must chain).
     spp_stack: int = 1
-    # Fast-math sphere sweeps: compute sqrt(disc) as disc * rsqrt(disc) and
-    # surface-normal normalization via rsqrt in the per-candidate sphere
-    # intersection (ops/intersect.py, the reference's intersectSphere root
-    # math, sphere_pathtracing.cs.glsl:145-163). Values differ from the
+    # Fast-math roots: compute sqrt(x) as x * rsqrt(x) and 1/sqrt(x) as
+    # rsqrt(x) in the hot per-sample math — the per-candidate sphere
+    # sweeps (ops/intersect.py, the reference's intersectSphere root math,
+    # sphere_pathtracing.cs.glsl:145-163), primary-ray normalization, and
+    # the diffuse-bounce basis/sampling chain (frame_z, cosine hemisphere,
+    # bounce-direction normalize; maths/sampling.py). Values differ from the
     # exact form only in final-ulp rounding, which can flip measure-zero
     # discrete events (which sphere wins a near-tie, RR survival at a
     # threshold, an exact-tangent disc == 0 hit becomes a miss) — the SAME

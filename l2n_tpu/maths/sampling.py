@@ -9,6 +9,7 @@ for the reference's per-thread GLSL functions
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 PI = 3.14159265358979323846  # M_PI, sphere_pathtracing.cs.glsl:7
@@ -24,8 +25,20 @@ def cross3(ax, ay, az, bx, by, bz) -> Vec3:
     return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
 
 
-def normalize3(x, y, z) -> Vec3:
-    rcp = jnp.float32(1.0) / jnp.sqrt(x * x + y * y + z * z)
+def fast_sqrt(x):
+    """sqrt(x) as x * rsqrt(x) — the fast-math form (cfg.fast_math).
+
+    Final-ulp differences from `jnp.sqrt` only; x == 0 yields NaN (0 * inf)
+    where sqrt gives 0 — callers either tolerate the poison (sweep
+    candidates, dead lanes) or clamp the argument away from 0 first. x < 0
+    is NaN either way.
+    """
+    return x * jax.lax.rsqrt(x)
+
+
+def normalize3(x, y, z, fast: bool = False) -> Vec3:
+    nn = x * x + y * y + z * z
+    rcp = jax.lax.rsqrt(nn) if fast else jnp.float32(1.0) / jnp.sqrt(nn)
     return (x * rcp, y * rcp, z * rcp)
 
 
@@ -35,19 +48,22 @@ def luminance(r, g, b):
             + jnp.float32(0.072169) * b)
 
 
-def frame_z(zx, zy, zz) -> tuple[Vec3, Vec3]:
+def frame_z(zx, zy, zz, fast: bool = False) -> tuple[Vec3, Vec3]:
     """Build a tangent frame around a normalized z axis.
 
     Mirrors `frameZ` (sphere_pathtracing.cs.glsl:102-117): the tangent is
     chosen from the smaller of |z.x|,|z.y| — branch becomes a lane-wise
     select. Returns (tangent, bitangent); the z axis is the input.
     """
+    def _rcp(nn):
+        return jax.lax.rsqrt(nn) if fast else jnp.float32(1.0) / jnp.sqrt(nn)
+
     use_y = jnp.abs(zy) > jnp.abs(zx)
     # Branch A (|z.y| > |z.x|): t = (z.y, -z.x, 0) / len(z.xy)
-    rcp_a = jnp.float32(1.0) / jnp.sqrt(zx * zx + zy * zy)
+    rcp_a = _rcp(zx * zx + zy * zy)
     ax, ay, az = zy * rcp_a, -zx * rcp_a, jnp.zeros_like(zx)
     # Branch B: t = (z.z, 0, -z.x) / len(z.xz)
-    rcp_b = jnp.float32(1.0) / jnp.sqrt(zx * zx + zz * zz)
+    rcp_b = _rcp(zx * zx + zz * zz)
     bx, by, bz = zz * rcp_b, jnp.zeros_like(zx), -zx * rcp_b
     tx = jnp.where(use_y, ax, bx)
     ty = jnp.where(use_y, ay, by)
@@ -74,7 +90,12 @@ def cosine_sample_hemisphere(u1, u2) -> tuple[Vec3, jnp.ndarray]:
     """Cosine-weighted hemisphere sample (sphere_pathtracing.cs.glsl:127-136).
 
     Returns ((x, y, z), jacobian); jacobian = pi / cosTheta (0 where
-    cosTheta == 0), matching the GLSL ternary.
+    cosTheta == 0), matching the GLSL ternary. Deliberately NOT fast-math
+    converted: the rsqrt form needs 1e-30 clamps against the masked-lane
+    u1 == 0 draw, and the measured integrated cost of those extra ops was
+    +0.28 ms/step (5.264 vs 4.983, 2026-08-20) — the bounce tail is
+    latency-hidden, so added issue slots are pure loss. See PROFILE.md
+    "Round-4: fast-math".
     """
     r = jnp.sqrt(u1)
     phi = jnp.float32(2.0 * PI) * u2

@@ -28,15 +28,11 @@ Fetch = Callable[[jnp.ndarray], tuple]
 MOLLER_TRUMBORE_EPS = 1e-6  # EPSILON, triangle_pathtracing.cs.glsl:10
 
 
-def fast_sqrt(x):
-    """sqrt(x) as x * rsqrt(x) — the fast-math form (cfg.fast_math).
-
-    Final-ulp differences from `jnp.sqrt` only; x == 0 yields NaN (0 * inf)
-    where sqrt gives 0, which in the sweeps below poisons an exact-tangent
-    candidate to a miss — a measure-zero event of the statistical parity
-    class. x < 0 is NaN either way (the sweeps' discriminant poison).
-    """
-    return x * jax.lax.rsqrt(x)
+# sqrt(x) as x * rsqrt(x); in the sweeps below an x == 0 exact-tangent
+# candidate poisons itself to a NaN miss — a measure-zero event of the
+# statistical parity class. Defined in maths.sampling (shared with the
+# per-bounce fast-math sites), re-exported here for the kernel imports.
+from l2n_tpu.maths.sampling import fast_sqrt  # noqa: E402,F401
 
 
 def intersect_sphere_scene(

@@ -120,7 +120,8 @@ def generate_rays(cfg, cam, px, py, u1, u2):
     else:  # pragma: no cover - validated in config
         raise ValueError(f"unknown ray_gen {cfg.ray_gen!r}")
 
-    dx, dy, dz = normalize3(wx - pos_x, wy - pos_y, wz - pos_z)
+    dx, dy, dz = normalize3(wx - pos_x, wy - pos_y, wz - pos_z,
+                            fast=cfg.fast_math)
     # The origin stays SCALAR (all primary rays share the camera position,
     # glsl:384): downstream per-sphere terms involving only the origin then
     # fold to scalars in the primary intersection sweep — a sizable VPU
@@ -291,12 +292,12 @@ def _scatter_and_roulette(cfg, intersect, sampler, light_sampler, use_nee,
         if use_mis:
             prev_pdf = jnp.where(diffuse, pdf_b, prev_pdf)
     else:
-        tangent, bitangent = frame_z(nx, ny, nz)
+        tangent, bitangent = frame_z(nx, ny, nz, fast=cfg.fast_math)
         u1, u2 = sampler.draw2(mask=diffuse)
         (lx, ly, lz), _ = cosine_sample_hemisphere(u1, u2)
         wdx, wdy, wdz = local_to_world(lx, ly, lz, tangent,
                                        bitangent, (nx, ny, nz))
-        wdx, wdy, wdz = normalize3(wdx, wdy, wdz)
+        wdx, wdy, wdz = normalize3(wdx, wdy, wdz, fast=cfg.fast_math)
         w_r, w_g, w_b = kd_r, kd_g, kd_b
         if use_mis:
             # Cosine-hemisphere pdf of the sampled direction (lz is the
