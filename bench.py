@@ -185,7 +185,9 @@ def stage_threefry() -> dict:
     from l2n_tpu.render.state import init_frame_state
     from l2n_tpu.scene import compute_spheres
 
-    cfg = _headline_cfg(True).replace(rng="threefry")
+    # fast_math=False: this stage's identity is the bit-parity
+    # configuration (every oracle-parity gate runs it); keep it exact.
+    cfg = _headline_cfg(True).replace(rng="threefry", fast_math=False)
     scene = compute_spheres(cfg.sphere_count, cfg.world_size, cfg.scene_seed)
     prog = SphereProgram(cfg, scene=scene, backend="pallas", steps_per_call=5)
     dt = _measure_program(prog, init_frame_state(cfg),
@@ -206,8 +208,11 @@ def stage_triangle() -> dict:
 
     # 256-tile steps measured ~7% faster than whole-frame steps for the
     # triangle kernel (smaller per-step shellwalk code footprint).
+    # fast_math=False: the triangle kernel has no measured fast-math win
+    # (the sweeps are sphere-root math); keep the stage comparable to the
+    # r2/r3 records and the triangle goldens.
     cfg = _headline_cfg(True).replace(scene_kind="triangle", spp_per_step=4,
-                                      tiles_per_step=256)
+                                      tiles_per_step=256, fast_math=False)
     prog = TriangleProgram(cfg, backend="pallas")
     dt = _measure_program(prog, init_frame_state(cfg),
                           Camera.from_config(cfg), 2, 1, 2)
@@ -240,7 +245,7 @@ def stage_obj() -> dict:
     # double-buffered slab copies this shape lands 12.6 ms/frame-spp
     # (PROFILE.md round-4 walk ablations).
     cfg = _headline_cfg(True).replace(scene_kind="triangle", spp_per_step=1,
-                                      tiles_per_step=1024)
+                                      tiles_per_step=1024, fast_math=False)
     scene = load_obj(torus_field_obj())
     log(f"obj scene: meshes={scene.mesh_count} tris={scene.total_triangles}")
     prog = TriangleProgram(cfg, scene=scene, backend="pallas")

@@ -88,6 +88,42 @@ class TestSampling:
         np.testing.assert_allclose([tx, ty, tz], [0.42 / ln, 0.0, -0.9 / ln],
                                    rtol=1e-5)
 
+    def test_fast_sqrt_ulp_bound(self, rng):
+        """cfg.fast_math's x*rsqrt(x) form stays within ~2 ulp of sqrt
+        across 12 decades (the sweep discriminants span t^2 scales), and
+        its x == 0 NaN poison is the documented behavior."""
+        x = np.float32(10.0) ** rng.uniform(-6, 6, size=4096).astype(np.float32)
+        exact = np.sqrt(x)
+        fast = np.asarray(sampling.fast_sqrt(jnp.asarray(x)))
+        ulp = np.abs(fast.view(np.int32) - exact.view(np.int32))
+        assert ulp.max() <= 2
+        assert np.isnan(np.asarray(sampling.fast_sqrt(jnp.float32(0.0))))
+
+    def test_normalize3_fast_matches_exact(self, rng):
+        v = rng.normal(size=(4096, 3)).astype(np.float32) * np.float32(3.0)
+        args = tuple(jnp.asarray(v[:, i]) for i in range(3))
+        ex = np.stack(sampling.normalize3(*args), 1)
+        fa = np.stack(sampling.normalize3(*args, fast=True), 1)
+        np.testing.assert_allclose(np.linalg.norm(fa, axis=1), 1.0, atol=2e-6)
+        np.testing.assert_allclose(fa, ex, atol=2e-6)
+
+    def test_frame_z_fast_matches_exact(self, rng):
+        z = rng.normal(size=(4096, 3)).astype(np.float32)
+        z /= np.linalg.norm(z, axis=1, keepdims=True)
+        args = tuple(jnp.asarray(z[:, i]) for i in range(3))
+        (tx, ty, tz), (bx, by, bz) = sampling.frame_z(*args)
+        (fx, fy, fz), (gx, gy, gz) = sampling.frame_z(*args, fast=True)
+        np.testing.assert_allclose(np.stack([fx, fy, fz], 1),
+                                   np.stack([tx, ty, tz], 1), atol=2e-6)
+        np.testing.assert_allclose(np.stack([gx, gy, gz], 1),
+                                   np.stack([bx, by, bz], 1), atol=2e-6)
+        # Orthonormality survives the rsqrt form.
+        t = np.stack([fx, fy, fz], 1)
+        b = np.stack([gx, gy, gz], 1)
+        np.testing.assert_allclose(np.linalg.norm(t, axis=1), 1.0, atol=2e-6)
+        np.testing.assert_allclose((t * z).sum(1), 0.0, atol=2e-6)
+        np.testing.assert_allclose(np.cross(z, t), b, atol=2e-5)
+
     def test_cosine_hemisphere(self, rng):
         u = rng.random((2, 5000), dtype=np.float32)
         (x, y, z), jac = sampling.cosine_sample_hemisphere(
