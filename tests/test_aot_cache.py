@@ -116,3 +116,62 @@ class TestAotJit:
     def test_source_digest_stable_within_process(self):
         assert aot_cache.source_digest() == aot_cache.source_digest()
         assert len(aot_cache.source_digest()) == 64
+
+
+class TestDigestScope:
+    """The digest covers exactly the trace-relevant tier (VERDICT r4 next
+    #6): editing app/docs-adjacent code must NOT invalidate executables,
+    and no module a kernel step imports at trace time may escape it."""
+
+    def test_host_only_tiers_excluded(self):
+        files = set(aot_cache.digest_files())
+        # The r4 failure mode: an interactive-UI edit forced a 15-minute
+        # triangle re-warm. These must never key an executable:
+        for rel in ("app/interactive.py", "app/application.py",
+                    "utils/aot_cache.py", "utils/profiling.py",
+                    "parallel/step.py", "native/api.py"):
+            assert rel not in files, rel
+
+    def test_trace_tier_included(self):
+        files = set(aot_cache.digest_files())
+        for rel in ("ops/kernels/sphere_pt.py", "ops/kernels/triangle_pt.py",
+                    "ops/pathtrace.py", "maths/brdf.py", "render/step.py",
+                    "render/tiles.py", "rng/threefry.py", "scene/spheres.py",
+                    "scene/tessellate.py", "camera/camera.py", "config.py"):
+            assert rel in files, rel
+
+    def test_no_trace_import_escapes_digest(self):
+        """Build both kernel-tier steps, then verify every l2n_tpu module
+        actually imported sits inside the digest set (or is an explicitly
+        host-only tier). Catches a future refactor moving trace-relevant
+        code into utils/ without updating TRACE_RELEVANT_DIRS."""
+        import sys
+
+        from l2n_tpu.config import RenderConfig
+        from l2n_tpu.render.step import build_render_step
+        from l2n_tpu.scene import build_triangle_scene, compute_spheres
+
+        cfg = RenderConfig(width=128, height=32, tile_width=128,
+                           tile_height=32, sphere_count=4).validate()
+        spheres = compute_spheres(4, cfg.world_size, 0)
+        build_render_step(cfg, spheres, backend="pallas")
+        tri_cfg = cfg.replace(scene_kind="triangle", disc_lat=4, disc_long=3)
+        build_render_step(tri_cfg,
+                          build_triangle_scene(spheres, 4, 3),
+                          backend="pallas")
+
+        covered = {rel[:-3].replace("/", ".") for rel
+                   in aot_cache.digest_files()}  # e.g. "ops.kernels.common"
+        covered |= {m.rsplit(".", 1)[0] for m in covered}  # packages
+        # Host-only by design: the cache/compile-cache machinery itself and
+        # anything that cannot alter a traced program.
+        host_only_prefixes = ("utils", "app", "parallel", "native")
+        for name in list(sys.modules):
+            if not name.startswith("l2n_tpu"):
+                continue
+            sub = name[len("l2n_tpu."):] if name != "l2n_tpu" else ""
+            if sub == "" or sub.startswith(host_only_prefixes):
+                continue
+            assert sub in covered, (
+                f"trace-time import {name} is outside the AOT digest scope "
+                "(aot_cache.TRACE_RELEVANT_DIRS) — stale-executable risk")
