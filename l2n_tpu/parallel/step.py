@@ -104,14 +104,14 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
     """
     cfg.validate()
     if backend == "auto":
+        # Stateful parity modes default to the oracle backend (their role
+        # is bit-parity, not throughput) but the pallas kernels thread the
+        # per-pixel state planes per shard too — backend="pallas" is fully
+        # supported (bit-exact vs the single-device kernel,
+        # tests/test_parallel.py::TestStatefulRngSharding).
         from l2n_tpu.ops.kernels import KERNELS
         backend = ("pallas" if cfg.scene_kind in KERNELS
                    and not cfg.rng_stateful else "xla")
-    if cfg.rng_stateful and backend == "pallas":
-        raise ValueError(
-            "sharded stateful parity modes run on the xla backend (the "
-            "sharded pallas call does not thread the per-pixel state "
-            "planes); use backend='xla' or 'auto'")
     n_tile = mesh.shape["tile"]
     intersect, miss_color, light_sampler, anyhit = make_intersector(cfg, scene)
     tile_grids = jnp.asarray(slab_tile_grids(cfg, n_tile))
@@ -162,21 +162,26 @@ def build_sharded_step(cfg: RenderConfig, scene, mesh: Mesh,
         cam = cam.at[ROW_PROJ, 3].set(stream.astype(jnp.float32))
         sched = scheduled_tiles(tiles_l, local.tile_offset, k)
         if cfg.scene_kind == "sphere":
-            accum, output = pallas_call_local(
-                sched, table_l, cam, scene.center_x, scene.center_y,
-                scene.center_z, scene.sqr_radius, local.accum, local.output)
+            args = [sched, table_l, cam, scene.center_x, scene.center_y,
+                    scene.center_z, scene.sqr_radius, local.accum,
+                    local.output]
         else:
-            accum, output = pallas_call_local(
-                sched, table_l, cam, order, *tri_aux.bounds, tri_aux.bradius,
-                *tri_aux.slab, tri_aux.inner_gap, tri_aux.balls,
-                *tri_aux.tess,
-                tri_aux.blocks,
-                local.accum, local.output)
+            args = [sched, table_l, cam, order, *tri_aux.bounds,
+                    tri_aux.bradius, *tri_aux.slab, tri_aux.inner_gap,
+                    tri_aux.balls, *tri_aux.tess, tri_aux.blocks,
+                    local.accum, local.output]
+        if stateful:
+            # Per-pixel state planes ride with their slab exactly as in the
+            # single-device kernel step (sphere_pt/triangle_pt kernel_step):
+            # appended input, third output, donated/aliased in the call.
+            args.append(local.rng_state)
+        outs = pallas_call_local(*args)
         return FrameState(
-            accum=accum, output=output,
+            accum=outs[0], output=outs[1],
             tile_offset=(local.tile_offset + jnp.int32(k))
             % jnp.int32(tiles_l.shape[0]),
-            iteration=local.iteration + 1, rng_state=None)
+            iteration=local.iteration + 1,
+            rng_state=outs[2] if stateful else None)
 
     stateful = cfg.rng_stateful
 
