@@ -153,7 +153,13 @@ def measure_mean_segments(cfg, scene, camera) -> float:
         trace_path(cfg, intersect, sampler, *rays, stats=stats)
         return jnp.stack(stats["survive_fraction"])
 
-    fractions = jax.jit(survive_fractions)(jnp.asarray(packed))
+    # Jit on TPU only: eager dispatch is what burned minutes over the
+    # tunnel's RTT, but on XLA:CPU (the fallback path) the jit costs a
+    # multi-minute full-depth compile while eager runs in seconds.
+    if jax.default_backend() == "tpu":
+        fractions = jax.jit(survive_fractions)(jnp.asarray(packed))
+    else:
+        fractions = survive_fractions(jnp.asarray(packed))
     val = 1.0 + float(np.asarray(fractions).sum())
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -165,7 +171,15 @@ def measure_mean_segments(cfg, scene, camera) -> float:
 
 
 def stage_headline() -> dict:
+    # Per-phase wall-clock logging (VERDICT r4 next #1a): the r4 official
+    # record burned ~390s in this stage with no log line saying where.
+    t0 = time.monotonic()
+
+    def phase(name):
+        log(f"[headline +{time.monotonic() - t0:6.1f}s] {name}")
+
     jax, on_tpu = _setup()
+    phase("jax init + device probe done")
     from l2n_tpu.camera import Camera
     from l2n_tpu.render.program import SphereProgram
     from l2n_tpu.render.state import init_frame_state
@@ -183,23 +197,31 @@ def stage_headline() -> dict:
 
     scene = compute_spheres(cfg.sphere_count, cfg.world_size, cfg.scene_seed)
     camera = Camera.from_config(cfg)
-    prog = SphereProgram(cfg, scene=scene, backend=backend,
-                         steps_per_call=spc)
-    dt = _measure_program(prog, init_frame_state(cfg), camera,
-                          calls, spc, reps)
+
+    def measure(c, label, n_reps):
+        prog = SphereProgram(c, scene=scene, backend=backend,
+                             steps_per_call=spc)
+        phase(f"{label}: program built")
+        dt = _measure_program(prog, init_frame_state(c), camera,
+                              calls, spc, n_reps)
+        phase(f"{label}: measured {dt * 1e3:.2f} ms/step")
+        return dt
+
+    dt = measure(cfg, "fast", reps)
+    mean_segments = measure_mean_segments(cfg, scene, camera)
+    phase("mean segments done")
 
     pixels_per_step = (cfg.effective_tiles_per_step * cfg.tile_height
                        * cfg.tile_width * cfg.spp_per_step)
     samples_per_sec = pixels_per_step / dt
     spp_per_sec = samples_per_sec / (cfg.width * cfg.height)
-    mean_segments = measure_mean_segments(cfg, scene, camera)
     mrays_per_sec = samples_per_sec * mean_segments / 1e6
 
     log(f"{dt * 1e3:.2f} ms/step, {samples_per_sec / 1e6:.1f} Msamples/s, "
         f"{spp_per_sec:.1f} spp/s, mean segments/sample {mean_segments:.3f}")
     log(f"=> {mrays_per_sec:.1f} Mrays/s (north star "
         f"{NORTH_STAR_MRAYS:.0f})")
-    return {
+    out = {
         "on_tpu": on_tpu,
         "mrays_per_sec": round(mrays_per_sec, 2),
         "samples_per_sec_M": round(samples_per_sec / 1e6, 2),
@@ -210,6 +232,21 @@ def stage_headline() -> dict:
         "rng": cfg.rng,
         "backend": backend,
     }
+    if on_tpu:
+        # The exact-math pair (VERDICT r4 next #2): time the identical
+        # config with fast_math OFF in the SAME record, so the official
+        # artifact carries both the production number and the exact-parity
+        # anchor whatever 3% chip-condition band the session lands in
+        # (benchmarks/PROFILE.md "day-scale chip-condition variance").
+        dt_exact = measure(cfg.replace(fast_math=False), "exact", 2)
+        exact_mrays = pixels_per_step / dt_exact * mean_segments / 1e6
+        log(f"exact-math pair: {dt_exact * 1e3:.2f} ms/step => "
+            f"{exact_mrays:.1f} Mrays/s "
+            f"(fast/exact = {dt_exact / dt:.4f}x)")
+        out["exact_mrays_per_sec"] = round(exact_mrays, 2)
+        out["exact_ms_per_step"] = round(dt_exact * 1e3, 3)
+        out["fast_over_exact"] = round(dt_exact / dt, 4)
+    return out
 
 
 def stage_threefry() -> dict:
@@ -297,11 +334,63 @@ def stage_obj() -> dict:
             "obj_tris": int(scene.total_triangles)}
 
 
+def stage_bigobj() -> dict:
+    """Tertiary: ONE 70k-triangle mesh (trefoil knot tube) through the
+    slab-GROUP hierarchy with walk-seeded primaries — the big-mesh scaling
+    frontier (reference wishlist /root/reference/TODO.md:9 'CPU
+    intersection with embree'; the reference brute-forces 128x256 = 32k
+    triangles, triangle_pathtracing.cs.glsl:164-175 — this is 2x that in
+    a SINGLE mesh, where per-mesh culling cannot help at all)."""
+    t0 = time.monotonic()
+
+    def phase(name):
+        log(f"[bigobj +{time.monotonic() - t0:6.1f}s] {name}")
+
+    jax, on_tpu = _setup()
+    if not on_tpu:
+        return {"skipped": "no TPU"}
+    import numpy as np
+    from l2n_tpu.camera import Camera
+    from l2n_tpu.maths.linalg import look_at
+    from l2n_tpu.render.program import TriangleProgram
+    from l2n_tpu.render.state import init_frame_state
+    from l2n_tpu.scene.obj import load_obj
+    from l2n_tpu.scene.procgen import trefoil_obj
+
+    # Same knob choices as the torus-field obj stage (spp1 whole-frame:
+    # the measured walk winner, see stage_obj).
+    cfg = _headline_cfg(True).replace(scene_kind="triangle", spp_per_step=1,
+                                      tiles_per_step=1024, fast_math=False)
+    scene = load_obj(trefoil_obj())
+    phase(f"scene loaded: {scene.mesh_count} mesh, "
+          f"{scene.total_triangles} tris")
+    # Aimed camera: the knot must FILL the view — a benchmark of sky
+    # pixels would flatter the walk.
+    verts = np.asarray(scene.vertices).reshape(-1, 3)
+    target = verts.mean(0).astype(np.float32)
+    radius = float(np.linalg.norm(verts - target, axis=1).max())
+    vm = look_at(target + np.array([0.35, 0.25, 1.0], np.float32)
+                 * 1.45 * radius, target,
+                 np.array([0.0, 1.0, 0.0], np.float32))
+    camera = Camera.from_config(cfg, view_matrix=vm)
+    prog = TriangleProgram(cfg, scene=scene, backend="pallas")
+    phase("program built (pack cached + AOT)")
+    dt = _measure_program(prog, init_frame_state(cfg), camera, 2, 1, 2)
+    phase("measured")
+    ms_full = dt * 1e3 * (cfg.width * cfg.height) / (
+        cfg.effective_tiles_per_step * cfg.tile_height
+        * cfg.tile_width * cfg.spp_per_step)
+    log(f"bigobj trefoil 70k: {ms_full:.1f} ms per full-frame spp")
+    return {"bigobj_ms_per_full_frame_spp": round(ms_full, 1),
+            "bigobj_tris": int(scene.total_triangles)}
+
+
 STAGES = {
     "headline": stage_headline,
     "threefry": stage_threefry,
     "triangle": stage_triangle,
     "obj": stage_obj,
+    "bigobj": stage_bigobj,
 }
 
 
@@ -414,7 +503,8 @@ def main() -> None:
         "measured_at": "round 3, commit c7bc749, 2026-08-17",
     }
     on_tpu = head.get("on_tpu", False)
-    secondaries = ["threefry", "triangle", "obj"] if on_tpu else []
+    secondaries = (["threefry", "triangle", "obj", "bigobj"]
+                   if on_tpu else [])
     for name in secondaries:
         if remaining() < 90.0:
             detail[name] = "skipped (budget)"

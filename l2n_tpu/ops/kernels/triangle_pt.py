@@ -93,11 +93,37 @@ _SUBSIZE = _SLAB // _SUBS
 # Structural A/B knobs (results identical either way; only timing moves):
 # L2N_TRI_DB=0 makes the work-list walks stage slabs SYNCHRONOUSLY with the
 # mask-gated copy instead of double-buffered unconditional prefetch;
-# L2N_TRI_PRIMARY=walk routes OBJ primaries through the seeded work-list
-# walk instead of the cone-culled nested-loop sweep. Defaults are the
-# measured winners (benchmarks/PROFILE.md round-4 walk ablations).
+# L2N_TRI_PRIMARY routes OBJ primaries: "cone" = the cone-culled
+# nested-loop sweep, "walk" = the seeded work-list walk, "auto" (default)
+# = walk exactly when the slab-GROUP hierarchy is active (see below —
+# one huge mesh defeats per-mesh cone gating). Defaults are the measured
+# winners (benchmarks/PROFILE.md round-4 walk ablations + round-5 big-mesh
+# scaling).
 _DOUBLE_BUF = _os.environ.get("L2N_TRI_DB", "1") != "0"
-_PRIMARY_WALK = _os.environ.get("L2N_TRI_PRIMARY", "cone") == "walk"
+_PRIMARY_MODE = _os.environ.get("L2N_TRI_PRIMARY", "auto")
+if _PRIMARY_MODE not in ("cone", "walk", "auto"):
+    raise ValueError(f"L2N_TRI_PRIMARY={_PRIMARY_MODE}: cone|walk|auto")
+# Slab-GROUP hierarchy (round-5, the 'Embree analog' frontier): scenes
+# whose static (mesh, slab) work list exceeds _HIER_MIN items get a
+# second bound level — _GROUP consecutive slabs per group — so the
+# branch-free flag pass unrolls over ~S/_GROUP group bounds and only the
+# entered groups pay per-slab tests (rolled). A single ~70k-triangle mesh
+# has ~550 slabs: flat, the unrolled pass is ~11k vector ops per walk and
+# the Mosaic program scales with it; grouped it is ~70 unrolled items.
+# The threshold keeps every measured bench scene (reference 256 items,
+# torus field 144) on its r4 flat path bit-for-bit.
+def _hier_min() -> int:
+    """Read at BUILD time (not import) so tests can force both paths."""
+    return int(_os.environ.get("L2N_TRI_HIER_MIN", "320"))
+
+
+_GROUP = int(_os.environ.get("L2N_TRI_GROUP", "8"))
+if _GROUP <= 0 or (_GROUP & (_GROUP - 1)) != 0:
+    # Power of two => gsub = min(_GROUP, spp) divides spp (also a power of
+    # two), so a group's padded slab range g*gsub+[0, gsub) stays inside
+    # its mesh's spp-wide flag-lane window — a non-divisor would let the
+    # compact pass read another mesh's flag lanes.
+    raise ValueError(f"L2N_TRI_GROUP={_GROUP}: must be a power of two")
 
 _ABLATE_WARNED = False
 
@@ -383,6 +409,33 @@ def pack_mesh_blocks(
     candidate and recover normals once per ray. Detected numerically, so
     OBJ-loaded spheres qualify too and arbitrary meshes fall back.
     """
+    # Disk cache for big meshes: packing is a pure host function of
+    # (scene, slab/sub/ball knobs, trace-relevant sources), and the
+    # certain-hit construction — exact point-triangle distances + signed
+    # solid angles over ALL triangles per candidate — measures 85 s for a
+    # 70k-triangle mesh (cProfile: _interior_balls ~76 s). Keyed beside
+    # the AOT executable cache; small scenes (tests) skip the IO.
+    cache_path = None
+    if int(scene.total_triangles) >= 20_000:
+        from l2n_tpu.utils import aot_cache
+        key = aot_cache.digest(
+            "tripack", aot_cache.source_digest(),
+            [np.asarray(x) for x in
+             (scene.vertices, scene.normals, scene.tex_coords, scene.indices,
+              scene.triangle_count, scene.index_offset)],
+            (_SLAB, _SUBS, _BALLS))
+        cache_dir = _os.environ.get("L2N_AOT_CACHE_DIR",
+                                    aot_cache.DEFAULT_DIR)
+        cache_path = _os.path.abspath(
+            _os.path.join(cache_dir, f"tripack-{key[:24]}.npz"))
+        if _os.path.exists(cache_path):
+            try:
+                z = np.load(cache_path)
+                return (z["blocks"], z["bounds"], z["slab"], z["sub"],
+                        z["scnt"], z["gap"], bool(z["sphn"]), z["balls"])
+            except Exception:
+                pass  # unreadable entry: repack
+
     soup = {k: np.asarray(v) for k, v in scene.soup().items()}
     mesh_id = soup["mesh_id"]
     m_count = int(scene.mesh_count)
@@ -549,8 +602,52 @@ def pack_mesh_blocks(
                 break
         if not sphere_normals:
             break
+    if cache_path is not None:
+        try:
+            _os.makedirs(_os.path.dirname(cache_path), exist_ok=True)
+            import tempfile
+            fd, tmp = tempfile.mkstemp(dir=_os.path.dirname(cache_path))
+            with _os.fdopen(fd, "wb") as fh:
+                np.savez(fh, blocks=blocks, bounds=bounds, slab=slab_bounds,
+                         sub=sub_bounds, scnt=slab_count, gap=inner_gap,
+                         sphn=np.bool_(sphere_normals), balls=balls)
+            _os.replace(tmp, cache_path)
+        except OSError:
+            pass
     return (blocks, bounds, slab_bounds, sub_bounds, slab_count, inner_gap,
             sphere_normals, balls)
+
+
+def pack_slab_groups(slab_np: np.ndarray, scount_np: np.ndarray,
+                     gsub: int) -> tuple[np.ndarray, np.ndarray]:
+    """Bounding spheres over runs of `gsub` consecutive slabs (the second
+    acceleration level for huge meshes — slabs are spatially sorted, so
+    consecutive runs are spatially compact, same argument as the slabs
+    themselves). Returns (group_bounds (M, G, 5) [cx cy cz r^2 r],
+    group_count (M,) i32); empty groups get r^2 = -1e30 (never entered).
+    Conservative by construction: group radius = max over member slabs of
+    |slab_center - group_center| + slab_radius."""
+    m_count, n_slabs, _ = slab_np.shape
+    g_max = max(1, -(-n_slabs // gsub))
+    out = np.zeros((m_count, g_max, 5), np.float32)
+    out[:, :, 3] = -1e30
+    gcnt = np.zeros((m_count,), np.int32)
+    for m in range(m_count):
+        sc = int(scount_np[m])
+        gcnt[m] = -(-sc // gsub) if sc else 0
+        for g in range(int(gcnt[m])):
+            sl = slab_np[m, g * gsub:min((g + 1) * gsub, sc)]
+            live = sl[:, 3] > 0.0
+            if not live.any():
+                continue
+            c, r = sl[live, :3], sl[live, 4]
+            lo = (c - r[:, None]).min(0)
+            hi = (c + r[:, None]).max(0)
+            gc = 0.5 * (lo + hi)
+            gr = float((np.sqrt(((c - gc) ** 2).sum(1)) + r).max())
+            gr *= 1.0 + 1e-5
+            out[m, g] = [*gc, gr * gr, gr]
+    return out, gcnt
 
 
 def _sweep_mesh(blk, m, carry, ox, oy, oz, dx, dy, dz, start, count,
@@ -703,20 +800,22 @@ def _bound_enter(ox, oy, oz, dx, dy, dz, cx, cy, cz, r2):
 
 
 def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
-            lights, *refs):
+            groups_cfg, lights, *refs):
     if not cfg.rng_stateful:
         (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
-         br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, gap_ref, balls_ref,
+         br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, grp_ref, gcnt_ref,
+         gap_ref, balls_ref,
          tcx_ref, tcy_ref, tcz_ref, tr_ref, blocks_hbm, accum_in, _out_in,
          accum_out, out_out, smem_blk, dma_sem, best_f, best_i,
-         flags_vmem, flags_ref, wlist_ref) = refs
+         flags_vmem, flags_ref, wlist_ref, gwlist_ref) = refs
         rng_in = rng_out = None
     else:
         (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
-         br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, gap_ref, balls_ref,
+         br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, grp_ref, gcnt_ref,
+         gap_ref, balls_ref,
          tcx_ref, tcy_ref, tcz_ref, tr_ref, blocks_hbm, accum_in, _out_in,
          rng_in, accum_out, out_out, rng_out, smem_blk, dma_sem, best_f,
-         best_i, flags_vmem, flags_ref, wlist_ref) = refs
+         best_i, flags_vmem, flags_ref, wlist_ref, gwlist_ref) = refs
 
     f32 = jnp.float32
     big = f32(3.0e38)
@@ -982,13 +1081,95 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
         return _bound_enter(ox, oy, oz, dx, dy, dz, bcx_ref[m],
                             bcy_ref[m], bcz_ref[m], br2_ref[m])
 
-    def _flag_items(cond_fn, ox, oy, oz, dx, dy, dz):
+    def _flag_items_flat(cond_fn, ox, oy, oz, dx, dy, dz):
         # Unrolled vector flag pass over the static non-empty items.
         frow = jnp.zeros((flag_rows, 128), jnp.int32)
         for m, s in items:
             enter, lower = _slab_bound(m, s, ox, oy, oz, dx, dy, dz)
             frow = _flag_put(frow, m * spp + s, cond_fn(enter, lower))
         return _compact(frow)
+
+    if groups_cfg is None:
+        _flag_items = _flag_items_flat
+    else:
+        # Hierarchical flag pass (huge work lists — see _HIER_MIN): the
+        # UNROLLED branch-free pass runs over the ~S/_GROUP slab-GROUP
+        # bounds only; surviving groups are compacted (same flag-row ->
+        # SMEM -> scalar-append machinery) and a ROLLED pass tests just
+        # their member slabs. Front-to-back ordering is preserved: groups
+        # append in mesh order / ascending g, slabs scan the group list in
+        # that order / ascending s. cond_fn at the group level is
+        # conservative (the group sphere contains its member slabs' — a
+        # group's `lower` is a valid lower bound for every member).
+        g_items, gpp, g_stride, gsub = groups_cfg
+        gp_log = gpp.bit_length() - 1
+
+        def _grp(m, g, kk):
+            return grp_ref[(m * g_stride + g) * 5 + kk]
+
+        def _group_bound(m, g, ox, oy, oz, dx, dy, dz):
+            enter, hb, _c = _bound_enter(
+                ox, oy, oz, dx, dy, dz, _grp(m, g, 0), _grp(m, g, 1),
+                _grp(m, g, 2), _grp(m, g, 3))
+            lower = jnp.maximum(-hb - _grp(m, g, 4), jnp.float32(0.0))
+            return enter, lower
+
+        def _compact_groups(frow):
+            flags_vmem[...] = frow
+            cp = pltpu.make_async_copy(flags_vmem, flags_ref, dma_sem.at[0])
+            cp.start()
+            cp.wait()
+
+            def outer(j, kk):
+                m = order_ref[j]
+
+                def inner(g, kk):
+                    q = m * gpp + g
+                    gwlist_ref[kk] = q
+                    return kk + flags_ref[q // 128, q % 128]
+
+                return jax.lax.fori_loop(0, gcnt_ref[m], inner, kk)
+
+            return jax.lax.fori_loop(0, mesh_count, outer, jnp.int32(0))
+
+        def _flag_items(cond_fn, ox, oy, oz, dx, dy, dz):
+            frow = jnp.zeros((flag_rows, 128), jnp.int32)
+            for m, g in g_items:
+                enter, lower = _group_bound(m, g, ox, oy, oz, dx, dy, dz)
+                frow = _flag_put(frow, m * gpp + g, cond_fn(enter, lower))
+            n_groups = _compact_groups(frow)
+
+            def slab_flags(j, frow):
+                q = gwlist_ref[j]
+                m, g = q >> gp_log, q & (gpp - 1)
+                for t in range(gsub):
+                    s = g * gsub + t
+                    live = s < scnt_ref[m]
+                    enter, lower = _slab_bound(m, s, ox, oy, oz, dx, dy, dz)
+                    frow = _flag_put(frow, m * spp + s,
+                                     cond_fn(enter, lower) & live)
+                return frow
+
+            frow_s = jax.lax.fori_loop(
+                0, n_groups, slab_flags,
+                jnp.zeros((flag_rows, 128), jnp.int32))
+            flags_vmem[...] = frow_s
+            cp = pltpu.make_async_copy(flags_vmem, flags_ref, dma_sem.at[0])
+            cp.start()
+            cp.wait()
+
+            def outer(j, kk):
+                q = gwlist_ref[j]
+                m, g = q >> gp_log, q & (gpp - 1)
+
+                def inner(t, kk):
+                    qs = m * spp + g * gsub + t
+                    wlist_ref[kk] = qs
+                    return kk + flags_ref[qs // 128, qs % 128]
+
+                return jax.lax.fori_loop(0, gsub, inner, kk)
+
+            return jax.lax.fori_loop(0, n_groups, outer, jnp.int32(0))
 
     def _walk_items(n_work, visit_fn):
         # Rolled DOUBLE-BUFFERED walk over the compacted items: the slab
@@ -1240,17 +1421,20 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
     if shellwalk_cfg is not None:
         intersect = intersect_shell
         intersect_anyhit = intersect_anyhit_shell
-    elif _PRIMARY_WALK:
-        # L2N_TRI_PRIMARY=walk, arbitrary (OBJ) scenes: primaries take the
-        # SAME seeded work-list walk as bounces — inheriting the
-        # inscribed-sphere/interior-ball upper-bound seeding and the
-        # double-buffered slab copies. MEASURED LOSER on the torus field
-        # (the cone-culled nested sweep prunes coherent primaries harder
-        # than the all-items flag pass; benchmarks/PROFILE.md round-4 walk
-        # ablations), kept as a knob for scenes where per-tile cones are
-        # loose. Results identical either way (the per-lane slab bounds
-        # subsume the per-tile cone geometrically, modulo the usual fp tie
-        # class).
+    elif _PRIMARY_MODE == "walk" or (_PRIMARY_MODE == "auto"
+                                     and groups_cfg is not None):
+        # Primaries take the SAME seeded work-list walk as bounces —
+        # inheriting the inscribed-sphere/interior-ball upper-bound
+        # seeding and the double-buffered slab copies. On SMALL scenes
+        # this is a MEASURED LOSER (torus field: the cone-culled nested
+        # sweep prunes coherent primaries harder than the all-items flag
+        # pass; benchmarks/PROFILE.md round-4 walk ablations) — so "auto"
+        # keeps them on the cone path. On hierarchy-scale scenes the
+        # per-mesh cone gate is useless (ONE huge mesh is always visible;
+        # the cone path would roll over ALL its ~550 slabs per tile), so
+        # "auto" routes primaries through the hierarchical walk. Results
+        # identical either way (the per-lane slab bounds subsume the
+        # per-tile cone geometrically, modulo the usual fp tie class).
         intersect_primary = intersect
 
     light_sampler = None
@@ -1352,6 +1536,21 @@ def build_triangle_call(cfg, scene: TriangleScene, lights=None):
     # Static non-empty (mesh, slab) work items (flag-pass unroll list).
     items = tuple((m, s) for m in range(mesh_count)
                   for s in range(int(scount_np[m])))
+    # Slab-GROUP hierarchy for huge work lists (see _HIER_MIN above). The
+    # group tables are always packed and passed (tiny); the kernel only
+    # USES them — hierarchical flag pass + walk-seeded primaries — when
+    # the item count crosses the threshold, so every smaller scene traces
+    # the identical r4 program.
+    gsub = min(_GROUP, spp)
+    grp_np, gcnt_np = pack_slab_groups(slab_np, scount_np, gsub)
+    g_max = grp_np.shape[1]
+    gpp = 1 << (g_max - 1).bit_length()
+    hier = len(items) > _hier_min()
+    groups_cfg = ((tuple((m, g) for m in range(mesh_count)
+                         for g in range(int(gcnt_np[m]))),
+                   gpp, g_max, gsub) if hier else None)
+    grp_flat = jnp.asarray(grp_np).reshape(-1)
+    gcnt = jnp.asarray(gcnt_np)
     # Live interior certain-hit balls, grouped per mesh (trace-time static:
     # sphere scenes have none and pay zero unrolled work; see
     # _interior_balls). Flat (M*_BALLS*4,) SMEM layout.
@@ -1395,6 +1594,8 @@ def build_triangle_call(cfg, scene: TriangleScene, lights=None):
                 smem(),                          # slab bounds flat (M*S*5,)
                 smem(),                          # sub bounds flat (M*S*8*5,)
                 smem(),                          # slab counts (M,)
+                smem(),                          # group bounds flat (M*G*5,)
+                smem(),                          # group counts (M,)
                 smem(),                          # inner_gap (M,)
                 smem(),                          # interior balls flat (M*K*4,)
                 smem(), smem(), smem(), smem(),  # tess centers + radii (M,)
@@ -1409,12 +1610,12 @@ def build_triangle_call(cfg, scene: TriangleScene, lights=None):
     out_specs = [tile_map(4), tile_map(3)]
     out_shape = [jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
                  jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)]
-    aliases = {19: 0, 20: 1}  # indices include the 2 scalar-prefetch operands
+    aliases = {21: 0, 22: 1}  # indices include the 2 scalar-prefetch operands
     if stateful:
         in_specs.append(tile_map(rng_planes))
         out_specs.append(tile_map(rng_planes))
         out_shape.append(jax.ShapeDtypeStruct((rng_planes, hp, wp), jnp.uint32))
-        aliases[21] = 2
+        aliases[23] = 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1436,12 +1637,14 @@ def build_triangle_call(cfg, scene: TriangleScene, lights=None):
             pltpu.VMEM(((mesh_count * spp + 127) // 128, 128), jnp.int32),
             pltpu.SMEM(((mesh_count * spp + 127) // 128, 128), jnp.int32),
             pltpu.SMEM((mesh_count * spp,), jnp.int32),
+            # Compacted group work list (hierarchy scenes; 1 slot otherwise).
+            pltpu.SMEM((mesh_count * gpp if hier else 1,), jnp.int32),
         ],
     )
 
     call = pl.pallas_call(
         partial(_kernel, cfg, mesh_count, tpad, fast, shellwalk_cfg, items,
-                mesh_balls, lights),
+                mesh_balls, groups_cfg, lights),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
@@ -1449,7 +1652,8 @@ def build_triangle_call(cfg, scene: TriangleScene, lights=None):
     )
     aux = SimpleNamespace(
         bounds=bounds, bradius=bradius,
-        slab=(slab_bounds, sub_bounds, slab_count), inner_gap=inner_gap,
+        slab=(slab_bounds, sub_bounds, slab_count, grp_flat, gcnt),
+        inner_gap=inner_gap,
         balls=balls, tess=tc, blocks=blocks, mesh_count=mesh_count,
         table_fn=table_fn, mesh_order=mesh_order, stateful=stateful,
         fast=fast, shellwalk=shellwalk_cfg is not None)
@@ -1507,7 +1711,8 @@ def build_triangle_step(cfg, scene: TriangleScene, tile_array,
                      scene.indices, scene.triangle_count,
                      scene.index_offset)],
                    tile_np, steps_per_call, k,
-                   (_SLAB, _SUBS, _BALLS, _DOUBLE_BUF, _PRIMARY_WALK,
+                   (_SLAB, _SUBS, _BALLS, _DOUBLE_BUF, _PRIMARY_MODE,
+                    _hier_min(), _GROUP,
                     _os.environ.get("L2N_TRI_ABLATE", "")),
                    None if lights is None else dict(vars(lights))),
         donate_argnums=(0,) if donate else ())

@@ -57,8 +57,18 @@ class ExplicitLights:
         def host(container, names):
             if container is None:
                 return np.zeros((0, len(names)), np.float32)
-            return np.stack([np.asarray(getattr(container, n), np.float32)
-                             for n in names], axis=1)
+            cols = [getattr(container, n) for n in names]
+            if cols[0].shape[0] == 0:
+                # Empty containers (the reference's default state) must not
+                # touch the device: np.asarray on a jnp field is a D2H
+                # readback, and the FIRST readback of a process through the
+                # tunnel intermittently stalls for minutes behind orphaned
+                # server-side work from a killed predecessor (measured
+                # 48s/156s/253s in back-to-back bench stages, 2026-08-20 —
+                # the r4 official record's unexplained headline burn).
+                return np.zeros((0, len(names)), np.float32)
+            return np.stack([np.asarray(c, np.float32) for c in cols],
+                            axis=1)
 
         self.albedo = host(materials, ("diffuse_r", "diffuse_g", "diffuse_b"))
         self.point = host(point_lights, ("x", "y", "z", "intensity_r",

@@ -28,6 +28,86 @@ def _rotation(rng: np.random.Generator) -> np.ndarray:
     return q
 
 
+def trefoil_obj(seg_u: int = 256, seg_v: int = 137,
+                world_size: float = 1024.0) -> str:
+    """OBJ text: ONE closed high-poly mesh — a tube swept along a trefoil
+    knot — with 2 x seg_u x seg_v triangles (defaults: 70,144).
+
+    The big-mesh scaling asset (the reference's Embree wishlist frontier,
+    /root/reference/TODO.md:9): a single mesh at this size exercises the
+    triangle kernel's slab-GROUP hierarchy (~550 slabs in ONE mesh, where
+    the per-mesh cone cull and the flat per-slab flag pass both stop
+    helping — ops/kernels/triangle_pt.py). The winding tube spreads slab
+    bounds through the volume (unlike a compact ball) and, like the torus,
+    has no useful central inscribed sphere, so the interior certain-hit
+    balls carry the any-hit shortcuts.
+
+    Construction: centerline C(t) = (sin t + 2 sin 2t, cos t - 2 cos 2t,
+    -sin 3t) sampled at seg_u points; the tube frame is parallel-
+    transported along the curve with the closure twist distributed evenly
+    (a rotation-minimizing CLOSED frame), and both parameter directions
+    wrap by INDEX, so the topology is exactly watertight — no seam
+    duplicates (the kernel's combinatorial watertightness gate certifies
+    the interior-ball data)."""
+    t = 2.0 * np.pi * np.arange(seg_u) / seg_u
+    c = np.stack([np.sin(t) + 2.0 * np.sin(2.0 * t),
+                  np.cos(t) - 2.0 * np.cos(2.0 * t),
+                  -np.sin(3.0 * t)], axis=1)
+    # Fit the knot (centerline extent ~3) in the procedural scene volume.
+    scale = 0.30 * world_size / 3.0
+    c *= scale
+    r_tube = 0.055 * world_size
+
+    # Unit tangents (periodic central differences).
+    tan = np.roll(c, -1, 0) - np.roll(c, 1, 0)
+    tan /= np.linalg.norm(tan, axis=1, keepdims=True)
+    # Parallel transport an initial normal along the closed curve.
+    n0 = np.array([tan[0, 1], -tan[0, 0], 0.0])
+    if np.linalg.norm(n0) < 1e-9:
+        n0 = np.array([1.0, 0.0, 0.0])
+    n0 -= tan[0] * (n0 @ tan[0])
+    n0 /= np.linalg.norm(n0)
+    normals = np.zeros_like(c)
+    normals[0] = n0
+    for i in range(1, seg_u):
+        v = normals[i - 1] - tan[i] * (normals[i - 1] @ tan[i])
+        normals[i] = v / np.linalg.norm(v)
+    # Distribute the closure twist so frame(seg_u) == frame(0) exactly in
+    # formula (the index wrap already guarantees topological closure).
+    v = normals[-1] - tan[0] * (normals[-1] @ tan[0])
+    v /= np.linalg.norm(v)
+    b0 = np.cross(tan[0], normals[0])
+    phi = np.arctan2(v @ b0, v @ normals[0])
+    binormals = np.cross(tan, normals)
+    theta = -phi * np.arange(seg_u) / seg_u
+    normals = (np.cos(theta)[:, None] * normals
+               + np.sin(theta)[:, None] * binormals)
+    binormals = np.cross(tan, normals)
+
+    psi = 2.0 * np.pi * np.arange(seg_v) / seg_v
+    cpsi, spsi = np.cos(psi), np.sin(psi)
+    ring_n = (cpsi[None, :, None] * normals[:, None, :]
+              + spsi[None, :, None] * binormals[:, None, :])  # (u, v, 3)
+    pos = c[:, None, :] + r_tube * ring_n
+
+    out = io.StringIO()
+    out.write("# trefoil knot tube (deterministic, l2n_tpu.scene.procgen)\n")
+    out.write("o trefoil\n")
+    for p in pos.reshape(-1, 3):
+        out.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+    for n in ring_n.reshape(-1, 3):
+        out.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
+    for u in range(seg_u):
+        for v_ in range(seg_v):
+            a = 1 + u * seg_v + v_
+            b = 1 + ((u + 1) % seg_u) * seg_v + v_
+            cc = 1 + ((u + 1) % seg_u) * seg_v + (v_ + 1) % seg_v
+            d = 1 + u * seg_v + (v_ + 1) % seg_v
+            out.write(f"f {a}//{a} {b}//{b} {cc}//{cc}\n")
+            out.write(f"f {a}//{a} {cc}//{cc} {d}//{d}\n")
+    return out.getvalue()
+
+
 def torus_field_obj(n_tori: int = 24, seg_u: int = 24, seg_v: int = 16,
                     world_size: float = 1024.0, seed: int = 5) -> str:
     """OBJ text: `n_tori` randomly placed/oriented tori.

@@ -209,6 +209,107 @@ def test_tpu_hw_variance_matches_threefry():
     assert 0.8 < ratio < 1.25, (med_hw, med_tf)
 
 
+def _kernel_vs_oracle(cfg, scene, cam, steps=2):
+    """COMPILED kernel (pallas on the real chip) vs the XLA oracle, same
+    threefry draws: count-exact, statistical parity budget (the same gate
+    the CPU-interpret tier runs — here it validates the Mosaic-compiled
+    code path on hardware; VERDICT r4 next #7)."""
+    from l2n_tpu.render.state import init_frame_state
+    from l2n_tpu.render.step import build_render_step
+
+    accums = {}
+    for be in ("pallas", "xla"):
+        step = build_render_step(cfg, scene, backend=be)
+        st = init_frame_state(cfg)
+        for _ in range(steps):
+            st = step(st, cam.packed())
+        accums[be] = np.asarray(st.accum)
+    a, b = accums["xla"], accums["pallas"]
+    assert (a[:3].max(0) > 0).mean() > 0.1, "near-black comparison"
+    np.testing.assert_array_equal(a[3], b[3])
+    diff = np.abs(a - b)
+    assert (diff > 1e-3).mean() < 1e-3, float(diff.max())
+
+
+def test_fog_nee_mis_kernel_on_hw():
+    """The r4 composition frontier — homogeneous fog + NEE + MIS — through
+    the COMPILED sphere kernel on the chip, against the oracle."""
+    from l2n_tpu.config import RenderConfig
+    from l2n_tpu.scene import compute_spheres
+    from tests.test_brdf import TestRenderIntegration
+
+    cfg = RenderConfig(width=256, height=128, tile_height=32, tile_width=128,
+                       tiles_per_step=8, spp_per_step=4, rng="threefry",
+                       emissive_every=2, nee=True, mis=True,
+                       fog_density=0.0008, fog_albedo=0.8).validate()
+    scene = compute_spheres(cfg.sphere_count, cfg.world_size, cfg.scene_seed)
+    _kernel_vs_oracle(cfg, scene, TestRenderIntegration._aimed_camera(cfg))
+
+
+def test_explicit_lights_kernel_on_hw():
+    """The r4 live light/material buffers through the COMPILED kernel on
+    the chip: a point light + albedo overrides, against the oracle."""
+    from l2n_tpu.camera import Camera
+    from l2n_tpu.config import RenderConfig
+    from l2n_tpu.render.program import SphereProgram
+    from l2n_tpu.render.state import init_frame_state
+    from l2n_tpu.scene import compute_spheres
+    from l2n_tpu.scene.materials import (
+        DirectionalLights,
+        PhongMaterials,
+        PointLights,
+    )
+    from tests.test_brdf import TestRenderIntegration
+
+    cfg = RenderConfig(width=256, height=128, tile_height=32, tile_width=128,
+                       tiles_per_step=8, spp_per_step=4,
+                       rng="threefry").validate()
+    scene = compute_spheres(cfg.sphere_count, cfg.world_size, cfg.scene_seed)
+    cam = TestRenderIntegration._aimed_camera(cfg)
+    import numpy as _np
+    mats = PhongMaterials.from_arrays(
+        _np.array([[0.9, 0.2, 0.1, 1.0], [0.1, 0.8, 0.3, 1.0]], _np.float32),
+        _np.zeros((2, 3), _np.float32), _np.zeros(2, _np.float32))
+    pls = PointLights.from_arrays(
+        _np.array([[0.0, 0.0, 0.0]], _np.float32),
+        _np.array([[5e7, 4e7, 3e7]], _np.float32))
+    dls = DirectionalLights.from_arrays(
+        _np.array([[0.3, -1.0, 0.2]], _np.float32),
+        _np.array([[0.5, 0.5, 0.6]], _np.float32))
+    accums = {}
+    for be in ("pallas", "xla"):
+        prog = SphereProgram(cfg, scene=scene, backend=be, materials=mats,
+                             point_lights=pls, directional_lights=dls)
+        st = init_frame_state(cfg)
+        for _ in range(2):
+            st = prog.step(st, cam.packed())
+        accums[be] = np.asarray(st.accum)
+    a, b = accums["xla"], accums["pallas"]
+    assert (a[:3].max(0) > 0).mean() > 0.1
+    np.testing.assert_array_equal(a[3], b[3])
+    diff = np.abs(a - b)
+    assert (diff > 1e-3).mean() < 1e-3, float(diff.max())
+
+
+def test_bigmesh_trefoil_kernel_on_hw():
+    """The 70k-triangle single-mesh frontier COMPILED on the chip: the
+    slab-GROUP hierarchy + walk-seeded primaries (round-5) against the
+    oracle's 70k-triangle rolled sweep. The reference caps at 32k
+    brute-forced triangles (triangle_pathtracing.cs.glsl:164-175); this
+    is one mesh at 2x that."""
+    from l2n_tpu.config import RenderConfig
+    from l2n_tpu.scene.obj import load_obj
+    from l2n_tpu.scene.procgen import trefoil_obj
+    from tests.test_bigmesh import aimed_camera
+
+    cfg = RenderConfig(width=128, height=64, tile_height=32, tile_width=128,
+                       tiles_per_step=2, spp_per_step=2,
+                       scene_kind="triangle", rng="threefry").validate()
+    scene = load_obj(trefoil_obj())
+    assert scene.total_triangles == 70144
+    _kernel_vs_oracle(cfg, scene, aimed_camera(cfg, scene))
+
+
 def test_tpu_hw_steps_decorrelated():
     """Two successive steps draw different samples (the seed advances with
     the accumulated count), so accumulation must keep converging, not
