@@ -110,11 +110,15 @@ if _PRIMARY_MODE not in ("cone", "walk", "auto"):
 # entered groups pay per-slab tests (rolled). A single ~70k-triangle mesh
 # has ~550 slabs: flat, the unrolled pass is ~11k vector ops per walk and
 # the Mosaic program scales with it; grouped it is ~70 unrolled items.
-# The threshold keeps every measured bench scene (reference 256 items,
-# torus field 144) on its r4 flat path bit-for-bit.
+# Threshold 200, measured on the v5e (benchmarks/PROFILE.md round-5
+# big-mesh scaling): the reference triangle scene (256 items) WINS under
+# the hierarchy (17.2 -> 15.9 ms/frame-spp — its shellwalk pending/any-hit
+# flag passes get 8x cheaper), the torus field (144 items) stays on the
+# r4 flat path (its hier probe measured 14.4 vs 12.6), the 70k trefoil
+# (548 items) is the 3.7x headline win (17.2 vs 63.8 flat).
 def _hier_min() -> int:
     """Read at BUILD time (not import) so tests can force both paths."""
-    return int(_os.environ.get("L2N_TRI_HIER_MIN", "320"))
+    return int(_os.environ.get("L2N_TRI_HIER_MIN", "200"))
 
 
 _GROUP = int(_os.environ.get("L2N_TRI_GROUP", "8"))
@@ -800,7 +804,7 @@ def _bound_enter(ox, oy, oz, dx, dy, dz, cx, cy, cz, r2):
 
 
 def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
-            groups_cfg, lights, *refs):
+            groups_cfg, walk_primaries, lights, *refs):
     if not cfg.rng_stateful:
         (sched_ref, vis_ref, cam_ref, order_ref, bcx_ref, bcy_ref, bcz_ref,
          br2_ref, brad_ref, slb_ref, sub_ref, scnt_ref, grp_ref, gcnt_ref,
@@ -1421,8 +1425,7 @@ def _kernel(cfg, mesh_count, tpad, fast, shellwalk_cfg, items, mesh_balls,
     if shellwalk_cfg is not None:
         intersect = intersect_shell
         intersect_anyhit = intersect_anyhit_shell
-    elif _PRIMARY_MODE == "walk" or (_PRIMARY_MODE == "auto"
-                                     and groups_cfg is not None):
+    elif walk_primaries:
         # Primaries take the SAME seeded work-list walk as bounces —
         # inheriting the inscribed-sphere/interior-ball upper-bound
         # seeding and the double-buffered slab copies. On SMALL scenes
@@ -1551,6 +1554,15 @@ def build_triangle_call(cfg, scene: TriangleScene, lights=None):
                    gpp, g_max, gsub) if hier else None)
     grp_flat = jnp.asarray(grp_np).reshape(-1)
     gcnt = jnp.asarray(gcnt_np)
+    # "auto" primaries walk only when some SINGLE mesh is too big for the
+    # per-mesh cone gate to matter (>= 32 slabs — the cone path would roll
+    # over every one of its slabs per tile: 63.9 ms/frame-spp vs the
+    # walk's 17.2 on the 70k trefoil). Many-small-mesh scenes keep the
+    # cone sweep, the measured winner there (torus field: walk primaries
+    # cost ~+1.8 ms/frame-spp, r4/r5 walk ablations).
+    walk_primaries = (_PRIMARY_MODE == "walk"
+                      or (_PRIMARY_MODE == "auto" and hier
+                          and int(scount_np.max()) >= 32))
     # Live interior certain-hit balls, grouped per mesh (trace-time static:
     # sphere scenes have none and pay zero unrolled work; see
     # _interior_balls). Flat (M*_BALLS*4,) SMEM layout.
@@ -1644,7 +1656,7 @@ def build_triangle_call(cfg, scene: TriangleScene, lights=None):
 
     call = pl.pallas_call(
         partial(_kernel, cfg, mesh_count, tpad, fast, shellwalk_cfg, items,
-                mesh_balls, groups_cfg, lights),
+                mesh_balls, groups_cfg, walk_primaries, lights),
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases=aliases,
