@@ -422,8 +422,13 @@ def pack_mesh_blocks(
     cache_path = None
     if int(scene.total_triangles) >= 20_000:
         from l2n_tpu.utils import aot_cache
+        # Keyed on THIS FILE's bytes (pack logic lives here), not the full
+        # trace-relevant source digest: an edit to e.g. sphere_pt.py must
+        # invalidate executables but need not repack 70k-mesh geometry.
+        with open(__file__, "rb") as fh:
+            pack_src = fh.read()
         key = aot_cache.digest(
-            "tripack", aot_cache.source_digest(),
+            "tripack", pack_src,
             [np.asarray(x) for x in
              (scene.vertices, scene.normals, scene.tex_coords, scene.indices,
               scene.triangle_count, scene.index_offset)],
