@@ -79,17 +79,33 @@ def _measure_program(prog, state, camera, calls, spc, reps):
     which dispatches pipeline and the chip runs back-to-back; timing one
     short and one long sequence and differencing cancels the constant.
     This is the production regime — a progressive render is a long
-    sequence of identical steps (src/main.cpp:951)."""
+    sequence of identical steps (src/main.cpp:951).
+
+    Synchronization is a tiny device->host FETCH, not block_until_ready:
+    on a fresh axon client whose predecessor process had just exited,
+    block_until_ready was observed to return EARLY (a no-op) while the
+    work kept executing asynchronously — difference timing collapsed to
+    ~0 with perfectly correct images (round-5, 2026-08-20: two full-bench
+    runs recorded 1.0e6 'Mrays/s' while the isolated stage measured 5.03
+    ms/step). A transfer cannot lie about completion: the bytes must
+    exist. The extra ~26 ms RTT per sequence is a constant the
+    differencing cancels."""
+    import numpy as np
+
     packed = camera.packed()
+
+    def sync():
+        np.asarray(state.output[:1, :1, :1])  # 4-byte forced D2H round trip
+
     state = prog.step(state, packed)      # warm up / compile
-    state.output.block_until_ready()
+    sync()
 
     def run_seq(n_calls):
         nonlocal state
         t0 = time.perf_counter()
         for _ in range(n_calls):
             state = prog.step(state, packed)
-        state.output.block_until_ready()
+        sync()
         return time.perf_counter() - t0
 
     dt = float("inf")
@@ -98,6 +114,12 @@ def _measure_program(prog, state, camera, calls, spc, reps):
         t_short = run_seq(calls)
         t_long = run_seq(long_calls)
         dt = min(dt, (t_long - t_short) / ((long_calls - calls) * spc))
+    if dt < 1e-4:
+        # No stage's step can physically run in <0.1 ms (the smallest
+        # renders ~4M samples); a smaller reading means the sync lied.
+        log(f"SUSPECT TIMING: {dt * 1e3:.4f} ms/step is physically "
+            "impossible — treating measurement as invalid")
+        raise RuntimeError(f"implausible step time {dt * 1e3:.4f} ms")
     return dt
 
 
@@ -385,12 +407,47 @@ def stage_bigobj() -> dict:
             "bigobj_tris": int(scene.total_triangles)}
 
 
+_SECONDARY_KEYS = {
+    "threefry": "threefry_ms_per_step",
+    "triangle": "triangle_ms_per_full_frame_spp",
+    "obj": "obj_ms_per_full_frame_spp",
+    "bigobj": "bigobj_ms_per_full_frame_spp",
+}
+
+
+def stage_all() -> dict:
+    """Every stage in ONE process. The axon server makes a freshly
+    attached client pay a multi-minute stall when the previous client's
+    teardown is still in flight (round-5, benchmarks/PROFILE.md: 557 s
+    observed right after a trivial probe process — the r4 official
+    record's secondary-killing burn). One process = one attach = at most
+    one stall; warm stages then run in seconds each. A stage failure is
+    contained so the rest of the record still lands (the parent retries
+    missing stages as subprocesses if budget remains)."""
+    out = stage_headline()
+    if out.get("on_tpu"):
+        for name, fn in (("threefry", stage_threefry),
+                         ("triangle", stage_triangle),
+                         ("obj", stage_obj),
+                         ("bigobj", stage_bigobj)):
+            try:
+                t0 = time.monotonic()
+                out.update(fn() or {})
+                log(f"[all] stage {name} done in "
+                    f"{time.monotonic() - t0:.1f}s")
+            except Exception as e:
+                log(f"[all] stage {name} failed in-process: "
+                    f"{type(e).__name__}: {e}")
+    return out
+
+
 STAGES = {
     "headline": stage_headline,
     "threefry": stage_threefry,
     "triangle": stage_triangle,
     "obj": stage_obj,
     "bigobj": stage_bigobj,
+    "all": stage_all,
 }
 
 
@@ -467,12 +524,18 @@ def main() -> None:
         time.sleep(10.0)
 
     # Headline is required: give it the budget minus a reserve for the
-    # final print (secondaries are sacrificed if it runs long).
+    # final print (secondaries are sacrificed if it runs long). On TPU
+    # the FIRST attempt is the combined single-process stage — one client
+    # attach, so the post-predecessor stall (see stage_all) is paid at
+    # most once for the whole record instead of once per stage.
     env = _cpu_env() if tunnel_down else None
-    head = run_stage("headline", max(60.0, remaining() - 15.0), env=env)
+    head = run_stage("headline" if tunnel_down else "all",
+                     max(60.0, remaining() - 15.0), env=env)
     if head is None and not tunnel_down:
-        # TPU headline died despite a live probe (mid-stage tunnel drop,
-        # cold-compile overrun). A CPU record still beats 0.0.
+        # Combined stage died (mid-stage tunnel drop, cold-compile
+        # overrun). Retry the headline alone, then CPU fallback.
+        head = run_stage("headline", max(60.0, remaining() - 15.0))
+    if head is None and not tunnel_down:
         tunnel_down = True
         env = _cpu_env()
         head = run_stage("headline", max(45.0, remaining() - 10.0), env=env)
@@ -506,6 +569,8 @@ def main() -> None:
     secondaries = (["threefry", "triangle", "obj", "bigobj"]
                    if on_tpu else [])
     for name in secondaries:
+        if _SECONDARY_KEYS[name] in detail:
+            continue  # landed inside the combined stage
         if remaining() < 90.0:
             detail[name] = "skipped (budget)"
             log(f"stage {name}: skipped ({remaining():.0f}s left)")
