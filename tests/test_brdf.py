@@ -148,6 +148,7 @@ class TestRenderIntegration:
         b = self._render("pallas", cfg)
         self.assert_parity(a, b, flip_budget=2e-3)  # measured 0.009%
 
+    @pytest.mark.slow
     def test_triangle_kernel_parity_microfacet(self):
         cfg = self.MAT_CFG.replace(sphere_count=8, disc_lat=8, disc_long=4,
                                    scene_kind="triangle",

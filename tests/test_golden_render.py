@@ -129,6 +129,7 @@ class TestTriangleGoldenRender:
         assert (d > 1e-3).mean() < 1e-3
         assert np.sqrt((d ** 2).mean()) < 1e-3
 
+    @pytest.mark.slow
     def test_pallas_matches_golden(self, tri_golden):
         cfg, want, vm = tri_golden
         got, _ = render_triangle(cfg, "pallas", vm)

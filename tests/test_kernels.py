@@ -150,6 +150,7 @@ class TestTriangleKernel:
         d = np.abs(np.asarray(so.accum) - np.asarray(sp.accum))
         assert (d > 1e-4).mean() < 1e-3
 
+    @pytest.mark.slow
     def test_ambient_occlusion_aov(self):
         cfg = self.TRI_CFG.replace(aov="ambient_occlusion")
         so = self.run("xla", cfg)
@@ -376,9 +377,11 @@ class TestTriangleKernel:
         assert np.sqrt((d ** 2).mean()) < 1e-3
         assert (d > 1e-3).mean() < 1e-3
 
+    @pytest.mark.slow
     def test_matches_xla_oracle_obj_multislab(self):
         self._obj_multislab_parity()
 
+    @pytest.mark.slow
     def test_matches_xla_oracle_obj_multislab_nee(self):
         """NEE on the torus field: shadow rays exercise the ball-certified
         any-hit path and the mesh-bound cone light sampler on arbitrary

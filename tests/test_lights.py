@@ -201,6 +201,7 @@ class TestKernelParity:
         d = np.abs(a - b)
         assert (d > 1e-3).mean() < 2e-3
 
+    @pytest.mark.slow
     def test_triangle_kernel_matches_oracle(self):
         cfg = RenderConfig(width=128, height=64, tile_width=128,
                            tile_height=32, sphere_count=8, disc_lat=8,

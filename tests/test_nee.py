@@ -156,6 +156,7 @@ class TestTriangleNEE:
         b = estimate_triangle(nee=True, bounces=1, n=50_000)
         assert b.std() < 0.3 * a.std()
 
+    @pytest.mark.slow
     def test_kernel_parity_with_nee(self):
         """Pallas triangle kernel with cone NEE vs the oracle."""
         from l2n_tpu.camera import Camera

@@ -162,6 +162,7 @@ class TestShardedTriangle:
                            disc_long=4, tiles_per_step=1,
                            scene_kind="triangle").validate()
 
+    @pytest.mark.slow
     def test_pallas_backend_matches_xla_backend(self):
         from l2n_tpu.parallel.step import build_sharded_step, init_sharded_state
         from l2n_tpu.scene import build_triangle_scene, compute_spheres
@@ -194,6 +195,7 @@ class TestShardedObjScene:
     (multi-slab tori, no procedural shortcuts) per shard inside shard_map
     must agree with the sharded oracle step."""
 
+    @pytest.mark.slow
     def test_pallas_backend_matches_xla_backend(self):
         from l2n_tpu.parallel.step import build_sharded_step, init_sharded_state
         from l2n_tpu.scene.obj import load_obj
