@@ -118,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover
                    choices=["spherePT", "trianglePT"])
     p.add_argument("--obj", type=Path, default=None,
                    help="render this OBJ file with the triangle renderer")
+    p.add_argument("--demo-scene", default=None,
+                   choices=["torus-field", "trefoil"],
+                   help="procedurally generated OBJ demo scene "
+                        "(scene.procgen): the 24-tori field or the "
+                        "70k-triangle trefoil knot")
     p.add_argument("--ansi", action="store_true", help="terminal preview")
     p.add_argument("--backend", default="auto")
     args = p.parse_args(argv)
@@ -128,6 +133,16 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover
     triangle_scene = None
     renderer = args.renderer
     renderer_names = ("spherePT", "trianglePT")
+    if args.demo_scene is not None:
+        if args.obj is not None:
+            p.error("--demo-scene and --obj are mutually exclusive")
+        from l2n_tpu.scene.obj import load_obj
+        from l2n_tpu.scene.procgen import torus_field_obj, trefoil_obj
+        gen = {"torus-field": torus_field_obj, "trefoil": trefoil_obj}
+        triangle_scene = load_obj(gen[args.demo_scene]())
+        renderer = "trianglePT"
+        renderer_names = ("trianglePT",)
+        cfg = cfg.replace(scene_kind="triangle")
     if args.obj is not None:
         renderer = "trianglePT"
         renderer_names = ("trianglePT",)

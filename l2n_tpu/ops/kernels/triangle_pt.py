@@ -1666,6 +1666,12 @@ def build_triangle_call(cfg, scene: TriangleScene, lights=None):
         out_shape=out_shape,
         input_output_aliases=aliases,
         interpret=interpret_mode(),
+        # The VMEM-resident triangle blocks count against Mosaic's
+        # conservative 16 MB scoped-VMEM default, which caps scenes at
+        # ~170k triangles (measured: a 249,600-tri mesh OOMs at 23.4 MB)
+        # — far short of the 96 MB guard above. v5e has 128 MB of
+        # physical VMEM; raise the limit like the sphere kernel does.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
     )
     aux = SimpleNamespace(
         bounds=bounds, bradius=bradius,
