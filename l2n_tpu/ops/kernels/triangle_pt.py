@@ -1508,6 +1508,26 @@ def build_triangle_call(cfg, scene: TriangleScene, lights=None):
             f"{blocks_np.shape[0]} meshes); the VMEM-resident design caps "
             "out near 1M triangles — split the scene into more meshes "
             "with fewer triangles (padding waste) or shard it (parallel/)")
+    # The BINDING capacity limit, measured (round-5): the flat sub-cluster
+    # bound table lives in SMEM at 40 floats per padded slab and the chip
+    # has 1 MB of SMEM — a 998k-triangle mesh (7,800 slabs, 1.22 MB sub
+    # table) OOMs the Mosaic allocator long before the 96 MB VMEM guard.
+    # Estimate the SMEM residents and fail with guidance instead.
+    smem_bytes = (sub_np.nbytes + slab_np.nbytes + balls_np.nbytes
+                  + 2 * _N_ROWS * _SLAB * 4          # staging slabs
+                  + blocks_np.shape[0] * 8 * 4)      # per-mesh scalars
+    if smem_bytes > int(0.90 * 2**20):
+        raise ValueError(
+            f"triangle scene needs ~{smem_bytes / 2**20:.2f} MB of "
+            f"SMEM-resident bound tables ({sub_np.size // 40} padded "
+            "slabs x 40 floats of sub-cluster bounds, plus slab bounds/"
+            "balls/staging) against the chip's 1 MB SMEM — the measured "
+            "ceiling of the current design is ~600k triangles in one "
+            "scene (benchmarks/PROFILE.md round-5 scaling). Split the "
+            "scene across shards (parallel/) or raise L2N_TRI_SLAB to "
+            "trade sweep granularity for table size; folding the sub "
+            "bounds into the streamed triangle blocks would lift the "
+            "ceiling to the 96 MB VMEM guard (~1M).")
     # Fast (t, mesh)-only sweeps apply when normals are recoverable from
     # mesh centers and no AOV needs texcoords/barycentrics.
     fast = sphere_normals and cfg.aov not in ("tex_coords", "param_uv")
