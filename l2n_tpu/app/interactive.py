@@ -277,11 +277,23 @@ def main(argv: list[str] | None = None) -> int:  # pragma: no cover
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--obj", type=Path, default=None,
                    help="view this OBJ file with the triangle renderer")
+    p.add_argument("--demo-scene", default=None,
+                   choices=["torus-field", "trefoil"],
+                   help="procedurally generated OBJ demo scene "
+                        "(scene.procgen)")
     args = p.parse_args(argv)
 
     cfg = (RenderConfig.from_json(args.config.read_text())
            if args.config else RenderConfig())
     triangle_scene = None
+    if args.demo_scene is not None:
+        if args.obj is not None:
+            p.error("--demo-scene and --obj are mutually exclusive")
+        from l2n_tpu.scene.obj import load_obj
+        from l2n_tpu.scene.procgen import torus_field_obj, trefoil_obj
+        gen = {"torus-field": torus_field_obj, "trefoil": trefoil_obj}
+        triangle_scene = load_obj(gen[args.demo_scene]())
+        cfg = cfg.replace(scene_kind="triangle")
     if args.obj is not None:
         from l2n_tpu.scene.obj import load_obj
         triangle_scene = load_obj(args.obj)
